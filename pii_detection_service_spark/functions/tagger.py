@@ -1,0 +1,190 @@
+"""Regex + gazetteer BIO PII tagger + scrubber (A12-equivalent).
+
+Replaces the reference's DeBERTa token-classification forward pass
+(predictor.py:65-92) with deterministic span tagging over the same 13-label
+vocabulary (textref.LABELS). Operates on *word tokens with character
+offsets* so the scrubber can splice placeholders into the original text
+exactly — kept rows with no PII are byte-identical.
+
+Word tokenization reproduces the reference's sample fixture token shape
+(constants.py:30-35: whitespace split, trailing sentence punctuation
+separated, honorific abbreviations like "Dr." kept intact).
+
+Pure Python on purpose: called per-batch from Arrow UDFs (pandas Series of
+strings in, lists out) and directly from golden tests.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import NamedTuple
+
+WORD_RE = re.compile(r"\S+")
+TRAILING_PUNCT = ".,!?;:"
+ABBREVIATIONS = frozenset(
+    {"Dr.", "Mr.", "Mrs.", "Ms.", "Prof.", "Jr.", "Sr.", "St.", "vs.", "etc."}
+)
+
+# --- span regexes (applied to raw text; longest-class-first precedence) ----
+EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+URL_RE = re.compile(r"(?:https?://|www\.)[^\s]+?(?=[.,;:!?]?(?:\s|$))")
+# US-style phone: 415-555-9876 / (555) 123-4567 / +1 212 555 1234
+PHONE_RE = re.compile(
+    r"(?:\+?1[ .-])?(?:\(\d{3}\)[ .-]?|\d{3}[ .-])\d{3}[ .-]\d{4}\b"
+)
+# SSN-style 123-45-6789, long digit runs, or explicit id tokens like AB-491823
+ID_RE = re.compile(r"\b\d{3}-\d{2}-\d{4}\b|\b\d{8,}\b|\b[A-Z]{2}-\d{6,}\b")
+STREET_SUFFIX = (
+    "St|Street|Ave|Avenue|Rd|Road|Blvd|Boulevard|Ln|Lane|Drive|Way|Court|Ct|Plaza|Square"
+)
+ADDRESS_RE = re.compile(
+    r"\b\d{1,5} (?:[A-Z][a-z]+ ){1,3}(?:%s)\b\.?" % STREET_SUFFIX
+)
+USERNAME_RE = re.compile(r"(?<![\w.])@[A-Za-z][A-Za-z0-9_]{2,}\b|\bu/[A-Za-z0-9_]{3,}\b")
+
+# Gazetteer of given names (NAME_STUDENT). Fixed, versioned: a real pipeline
+# broadcasts a large list; semantics are identical.
+FIRST_NAMES = frozenset(
+    """alice robert gilberto maria john jane carlos ana luis sofia james mary
+    linda michael sarah david emma wei li chen yuki hans anna pierre claire
+    ahmed fatima olga ivan diego lucia marco paolo kenji aiko raj priya noah
+    liam olivia ava elena pablo andres veronica hiroshi mei jean marie
+    """.split()
+)
+HONORIFICS = frozenset({"dr.", "mr.", "mrs.", "ms.", "prof.", "dr", "mr", "mrs", "ms", "prof"})
+
+# Tag precedence: earlier wins on overlap.
+_SPAN_RES: list[tuple[str, re.Pattern[str]]] = [
+    ("EMAIL", EMAIL_RE),
+    ("URL_PERSONAL", URL_RE),
+    ("ID_NUM", ID_RE),
+    ("PHONE_NUM", PHONE_RE),
+    ("STREET_ADDRESS", ADDRESS_RE),
+    ("USERNAME", USERNAME_RE),
+]
+
+# Classes whose vocabulary has no I- form (single-token entities).
+_NO_I = frozenset({"EMAIL", "USERNAME"})
+
+
+class Token(NamedTuple):
+    text: str
+    start: int  # char offset in the original text
+    end: int
+
+
+def word_tokenize(text: str) -> list[Token]:
+    """Whitespace tokens with char offsets; trailing sentence punctuation is
+    peeled into its own token unless the word is a known abbreviation.
+
+    Reproduces the reference fixture token shape (constants.py:30-35):
+    ``"now." → ["now", "."]`` but ``"Dr." → ["Dr."]``; phone numbers and
+    emails stay intact.
+    """
+    out: list[Token] = []
+    for m in WORD_RE.finditer(text):
+        w, s, e = m.group(), m.start(), m.end()
+        while (
+            len(w) > 1
+            and w[-1] in TRAILING_PUNCT
+            and w not in ABBREVIATIONS
+        ):
+            w = w[:-1]
+            e -= 1
+        out.append(Token(w, s, e))
+        if e < m.end():
+            for i in range(e, m.end()):
+                out.append(Token(text[i], i, i + 1))
+    return out
+
+
+def find_pii_spans(text: str) -> list[tuple[int, int, str]]:
+    """All PII character spans as (start, end, class), non-overlapping,
+    precedence EMAIL > URL > ID > PHONE > ADDRESS > USERNAME > NAME."""
+    spans: list[tuple[int, int, str]] = []
+
+    def free(s: int, e: int) -> bool:
+        return all(e <= s2 or s2e <= s for s2, s2e, _ in spans)
+
+    for cls, pat in _SPAN_RES:
+        for m in pat.finditer(text):
+            if free(m.start(), m.end()):
+                spans.append((m.start(), m.end(), cls))
+
+    # Gazetteer names: a known given name (capitalized) optionally followed
+    # by further capitalized words (surnames) extends the span. An honorific
+    # immediately before is NOT part of the span (fixture: "Dr." is O).
+    toks = word_tokenize(text)
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (
+            t.text[:1].isupper()
+            and t.text.lower() in FIRST_NAMES
+            and free(t.start, t.end)
+        ):
+            j = i + 1
+            end = t.end
+            while (
+                j < len(toks)
+                and toks[j].text[:1].isupper()
+                and toks[j].text.replace("-", "").isalpha()
+                and toks[j].text.lower() not in HONORIFICS
+                and free(toks[j].start, toks[j].end)
+                and toks[j].start == toks[j - 1].end + 1  # contiguous words
+            ):
+                end = toks[j].end
+                j += 1
+            spans.append((t.start, end, "NAME_STUDENT"))
+            i = j
+        else:
+            i += 1
+
+    spans.sort()
+    return spans
+
+
+def tag(text: str) -> tuple[list[str], list[str]]:
+    """Word tokens + aligned BIO labels for ``text``.
+
+    First token overlapping a span gets ``B-<class>``, subsequent ones
+    ``I-<class>`` (classes without an I- form in the 13-label vocabulary —
+    EMAIL, USERNAME — repeat ``B-``, though spans for those are single-token
+    by construction).
+    """
+    toks = word_tokenize(text)
+    spans = find_pii_spans(text)
+    labels = ["O"] * len(toks)
+    si = 0
+    prev_span = -1
+    for ti, t in enumerate(toks):
+        while si < len(spans) and spans[si][1] <= t.start:
+            si += 1
+        if si < len(spans):
+            s, e, cls = spans[si]
+            if t.start < e and t.end > s:
+                if si != prev_span or cls in _NO_I:
+                    labels[ti] = "B-" + cls
+                else:
+                    labels[ti] = "I-" + cls
+                prev_span = si
+    return [t.text for t in toks], labels
+
+
+def scrub(text: str) -> tuple[str, int]:
+    """Replace every PII span with ``[<CLASS>]``; returns (scrubbed, n_spans).
+
+    Splices on the original string, so PII-free text is returned
+    byte-identical (caption-preservation invariant for kept rows).
+    """
+    spans = find_pii_spans(text)
+    if not spans:
+        return text, 0
+    parts: list[str] = []
+    pos = 0
+    for s, e, cls in spans:
+        parts.append(text[pos:s])
+        parts.append("[" + cls + "]")
+        pos = e
+    parts.append(text[pos:])
+    return "".join(parts), len(spans)
