@@ -11,9 +11,10 @@ from pii_detection_service_spark.functions import textref as tr
 def test_decode_escapes_literal_sequences():
     # A1: literal \n / \uXXXX sequences become real characters
     assert tr.decode_escapes(r"a\nb") == "a\nb"
-    assert tr.decode_escapes(r"café") == "café"
-    # the reference's known latin-1 quirk is preserved: already-decoded
-    # non-ASCII text round-trips through latin-1
+    assert tr.decode_escapes(r"é") == "é"
+    # the reference's known quirk is preserved bit-for-bit: non-ASCII input
+    # is mangled through the unicode_escape codec (UTF-8 bytes read as latin-1)
+    assert tr.decode_escapes("café") == "cafÃ©"
     assert tr.decode_escapes("abc") == "abc"
 
 
