@@ -11,7 +11,7 @@ from pii_detection_service_spark.functions import textref as tr
 def test_decode_escapes_literal_sequences():
     # A1: literal \n / \uXXXX sequences become real characters
     assert tr.decode_escapes(r"a\nb") == "a\nb"
-    assert tr.decode_escapes(r"é") == "é"
+    assert tr.decode_escapes("\\u00e9") == "é"
     # the reference's known quirk is preserved bit-for-bit: non-ASCII input
     # is mangled through the unicode_escape codec (UTF-8 bytes read as latin-1)
     assert tr.decode_escapes("café") == "cafÃ©"
@@ -58,13 +58,24 @@ def test_merge_variants_agree_on_uniform_labels():
 
 def test_propagate_bio():
     # A5: inside a merged multi-subword word with non-O first label,
-    # subwords 2..n become I-<class>
-    tokens = ["▁Gil", "berto", "▁x"]
-    labels = ["B-NAME_STUDENT", "O", "O"]
+    # inner subwords become I-<class>. The reference's trailing-token check
+    # (`not tokens[end].isalnum()`) fires whenever the next word starts with
+    # ▁ (never alphanumeric), so the LAST subword is excluded — pinned here.
+    tokens = ["▁Gil", "ber", "to", "▁x"]
+    labels = ["B-NAME_STUDENT", "O", "O", "O"]
     merged, _ = tr.merge_subwords_predictor(tokens, labels)
     assert merged == ["▁Gilberto", "▁x"]
     out = tr.clean_up_predictions(tokens, labels)
-    assert out == ["B-NAME_STUDENT", "I-NAME_STUDENT", "O"]
+    assert out == ["B-NAME_STUDENT", "I-NAME_STUDENT", "O", "O"]
+
+
+def test_propagate_bio_final_word_guard():
+    # the reference would IndexError on a non-O final word (tokens[end] with
+    # end == len); we guard the bound and propagate through the last subword
+    tokens = ["▁Gil", "berto"]
+    labels = ["B-NAME_STUDENT", "O"]
+    out = tr.clean_up_predictions(tokens, labels)
+    assert out == ["B-NAME_STUDENT", "I-NAME_STUDENT"]
 
 
 def test_propagate_bio_excludes_trailing_punct():
