@@ -1,0 +1,138 @@
+"""Deterministic synthetic image+caption table (BASELINE.json ``input_hint``).
+
+Schema: (image_id string, bytes binary, w int, h int, fmt string,
+caption string, phash int64). Everything derives from the row index and a
+fixed seed — the same row is bit-identical whether generated in a test
+process or inside a distributed ``mapInPandas`` task, so golden expectations
+hold across parallelism levels.
+
+Planted structure (all seeded):
+- ~70% English captions (the dominant-language cluster the north rule's
+  salted repartition is for), the rest es/de/fr/degenerate.
+- PII planted into a fixed fraction (emails, phones, gazetteer names,
+  street addresses, URLs, usernames, SSN-style ids).
+- Degenerate captions exercising every keep/drop rule.
+- A small cluster of exact-duplicate images (same pixels → same phash) for
+  dedup operators.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from . import imagecodec
+
+SEED = 20240816
+
+INPUT_COLUMNS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+
+_NOUNS = "person dog cat table room tree car house bird flower street city beach mountain book".split()
+_ADJS = "small large red quiet bright old modern wooden happy busy".split()
+_VERBS = "sitting standing running sleeping reading walking playing waiting".split()
+
+_ES = "una foto de la persona con el perro en la mesa de los arboles por la calle".split()
+_DE = "ein foto von der person mit dem hund auf das tisch und die strasse für alle".split()
+_FR = "une photo de la personne avec le chien sur les tables est pour des rues".split()
+
+_PII_SNIPPETS = [
+    "contact Alice Johnson at alice.j@example.com for details",
+    "call Robert Smith on 212-555-1234 about this",
+    "sent by Maria Lopez from 456 Elm St yesterday",
+    "uploaded by @carlos_v see http://carlos.example.net/pics",
+    "owner SSN 123-45-6789 on file with Dr. Robert Smith",
+    "reach Gilberto Gamboa at (555) 123-4567 tonight",
+]
+
+_DEGENERATE = [
+    "tiny",                                   # too_short
+    "x " * 1200,                              # too_long (>2048 chars)
+    "onlytwo words",                          # too_few_words
+    "$$$ ### @@@ !!! %%% ^^^ &&&",            # symbol_heavy
+    "spam spam spam spam spam spam",          # repetitive
+]
+
+
+def _words(rng: np.random.Generator, pool: list[str], n: int) -> str:
+    return " ".join(pool[i] for i in rng.integers(0, len(pool), n))
+
+
+def caption_for(i: int) -> str:
+    """Deterministic caption for row i."""
+    rng = np.random.default_rng(SEED * 1_000_003 + i)
+    r = rng.random()
+    if r < 0.10:
+        return _DEGENERATE[int(rng.integers(0, len(_DEGENERATE)))]
+    if r < 0.17:
+        return "la foto de " + _words(rng, _ES, 8)
+    if r < 0.24:
+        return "das foto von " + _words(rng, _DE, 8)
+    if r < 0.30:
+        return "une photo de " + _words(rng, _FR, 8)
+    base = (
+        f"a photo of the {_ADJS[int(rng.integers(0, len(_ADJS)))]} "
+        f"{_NOUNS[int(rng.integers(0, len(_NOUNS)))]} "
+        f"{_VERBS[int(rng.integers(0, len(_VERBS)))]} near the "
+        f"{_NOUNS[int(rng.integers(0, len(_NOUNS)))]} and the "
+        f"{_NOUNS[int(rng.integers(0, len(_NOUNS)))]}"
+    )
+    if r < 0.42:  # plant PII into ~12% of rows
+        return base + ", " + _PII_SNIPPETS[int(rng.integers(0, len(_PII_SNIPPETS)))]
+    return base
+
+
+def pixels_for(i: int, size: int = 24) -> np.ndarray:
+    """Deterministic pixel content. Rows with i % 37 == 0 share one image
+    (exact-duplicate cluster for dedup operators)."""
+    key = 0 if i % 37 == 0 else i
+    rng = np.random.default_rng(SEED * 7_000_003 + key)
+    yy, xx = np.mgrid[0:size, 0:size]
+    base = (yy * 255 // size + key % 97)[..., None] * np.array([1, 2, 3]) // 3
+    noise = rng.integers(0, 64, (size, size, 3))
+    return ((base + noise) % 256).astype(np.uint8)
+
+
+def make_row(i: int, size: int = 24) -> dict:
+    px = pixels_for(i, size)
+    fmt = "png" if i % 3 else "jpeg"
+    data = (
+        imagecodec.encode_png(px)
+        if fmt == "png"
+        else imagecodec.encode_jpeg_like(px)
+    )
+    return {
+        "image_id": f"img_{i:08d}",
+        "bytes": data,
+        "w": size,
+        "h": size,
+        "fmt": fmt,
+        "caption": caption_for(i),
+        "phash": imagecodec.average_hash(px),
+    }
+
+
+def synth_pandas(n: int, size: int = 24, start: int = 0) -> pd.DataFrame:
+    df = pd.DataFrame([make_row(i, size) for i in range(start, start + n)])
+    df["w"] = df["w"].astype("int32")
+    df["h"] = df["h"].astype("int32")
+    df["phash"] = df["phash"].astype("int64")
+    return df
+
+
+def synth_spark(spark, n: int, size: int = 24, num_partitions: int | None = None):
+    """Distributed generation: spark.range → mapInPandas; each task generates
+    only its own row span (no driver-side materialization → scales to any n)."""
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = pd.DataFrame([make_row(int(i), size) for i in pdf["id"]])
+            out["w"] = out["w"].astype("int32")
+            out["h"] = out["h"].astype("int32")
+            yield out[INPUT_COLUMNS]
+
+    rng_df = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    return rng_df.mapInPandas(gen, schema=schema)
