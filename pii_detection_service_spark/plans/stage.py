@@ -1,0 +1,159 @@
+"""The flagship distributed stage (north rule).
+
+read → one fused Arrow scoring pass → phash-bucket partitioning (salted for
+the dominant-language skew) → partitioned write + per-bucket lineage +
+metrics → resume by anti-joining pending buckets against completed lineage.
+
+Scale design notes (the part that must survive 1000 executors / 100 TB):
+- The scoring pass is MAP-ONLY: no shuffle between scan and scored rows.
+  The only shuffle in the whole job is the single explicit repartition that
+  lays rows out by (bucket, salt) before the write — and that one exists *on
+  purpose* (the north rule's explicit phash-bucket layout).
+- Salting: phash buckets can be skewed (near-duplicate clusters share a
+  phash; the dominant-language cluster concentrates rows). The shuffle key is
+  (bucket, salt) with salt = pmod(xxhash64(image_id), SALT_FACTOR), so one hot
+  bucket spreads over SALT_FACTOR reducers while file layout stays
+  bucket-partitioned.
+- Resume: lineage rows are written per bucket after the data commit.
+  On restart, completed buckets are anti-joined out (broadcast — lineage is
+  tiny), and the data write uses dynamic partition overwrite so a bucket that
+  died mid-write is rewritten idempotently, never duplicated.
+- Sink is partitioned Parquet here; on a real cluster the same plan targets
+  an Iceberg table (writeTo(...).overwritePartitions()) — semantics match
+  (idempotent per-partition replace), this sandbox has no Iceberg runtime.
+- Run metrics derive from the per-bucket lineage aggregate, a column-pruned
+  scan (bucket/keep/n_pii only) of the just-written output — the scoring UDF
+  never runs twice.
+
+The reference analog: its whole /save-essay HTTP pipeline
+(backend_service_app.py:139-196 → ml_service_app.py:40-104) is this one lazy
+chain; its `model` lineage table (database_manager.py:22-29) is our lineage
+parquet.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import udfs
+
+DEFAULT_BUCKETS = 64
+SALT_FACTOR = 8
+
+
+def score(df: DataFrame) -> DataFrame:
+    """Map-only fused scoring pass (langid/ppl/keep/tag/scrub)."""
+    cols = df.columns
+    ddl_in = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return df.mapInPandas(
+        udfs.make_score_iter(cols), schema=f"{ddl_in}, {udfs.SCORE_DDL}"
+    )
+
+
+def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """North rule: explicit partitioning on phash-derived buckets."""
+    return df.withColumn("bucket", F.pmod(F.col("phash"), F.lit(n_buckets)).cast("int"))
+
+
+def completed_buckets(spark: SparkSession, lineage_dir: str) -> DataFrame:
+    if os.path.isdir(lineage_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(lineage_dir)
+    ):
+        return (
+            spark.read.parquet(lineage_dir)
+            .where(F.col("status") == "done")
+            .select("bucket")
+            .distinct()
+        )
+    return spark.createDataFrame([], "bucket int")
+
+
+def run_stage(
+    spark: SparkSession,
+    src: DataFrame,
+    out_dir: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    salt_factor: int = SALT_FACTOR,
+    resume: bool = True,
+) -> dict:
+    """Run (or resume) the full stage. Returns run metrics."""
+    data_dir = os.path.join(out_dir, "data")
+    lineage_dir = os.path.join(out_dir, "lineage")
+    metrics_dir = os.path.join(out_dir, "metrics")
+
+    t0 = time.monotonic()
+    df = with_bucket(src, n_buckets)
+
+    done = (
+        completed_buckets(spark, lineage_dir)
+        if resume
+        else spark.createDataFrame([], "bucket int")
+    )
+    # lineage is tiny (≤ n_buckets rows) → broadcast anti-join: prunes
+    # completed work with zero shuffle of the big side.
+    df = df.join(F.broadcast(done), "bucket", "left_anti")
+
+    scored = score(df)
+
+    # THE one shuffle: explicit (bucket, salt) layout. Salt spreads hot
+    # buckets (duplicate phash clusters / dominant language) over
+    # salt_factor reducers; files stay partitioned by bucket only.
+    salted = scored.withColumn(
+        "salt", F.pmod(F.xxhash64("image_id"), F.lit(salt_factor)).cast("int")
+    )
+    out = salted.repartition(n_buckets * salt_factor, "bucket", "salt").drop("salt")
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out.write.mode("overwrite").partitionBy("bucket").parquet(data_dir)
+
+    # Per-bucket lineage from the written output (cheap: column-pruned scan
+    # of keep/n_pii only, partition column comes from directory layout).
+    # Scope to buckets processed THIS run so resumed runs never duplicate
+    # lineage for already-done buckets.
+    written = spark.read.parquet(data_dir).join(
+        F.broadcast(done), "bucket", "left_anti"
+    )
+    runtime = time.monotonic() - t0
+    lineage_rows = (
+        written.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum((F.col("n_pii") > 0).cast("long")).alias("n_pii_rows"),
+        )
+        .withColumn("runtime_sec", F.lit(float(runtime)))
+        .withColumn("status", F.lit("done"))
+        .collect()  # ≤ n_buckets rows — driver-side is fine by design
+    )
+    if not lineage_rows:
+        return {"rows": 0, "kept": 0, "pii_rows": 0, "resumed_noop": True}
+
+    spark.createDataFrame(lineage_rows).coalesce(1).write.mode("append").parquet(
+        lineage_dir
+    )
+
+    metrics = (
+        written.groupBy("lang", "keep", "drop_reason")
+        .count()
+        .withColumn("run_ts", F.current_timestamp())
+    )
+    metrics.coalesce(1).write.mode("append").parquet(metrics_dir)
+
+    return {
+        "rows": sum(r["n_rows"] for r in lineage_rows),
+        "kept": sum(r["n_kept"] for r in lineage_rows),
+        "pii_rows": sum(r["n_pii_rows"] for r in lineage_rows),
+        "runtime_sec": runtime,
+        "resumed_noop": False,
+    }
+
+
+def read_synth_or_generate(spark: SparkSession, n: int) -> DataFrame:
+    """Convenience source for bench/tests: distributed synthetic generation."""
+    from ..sources.synth import synth_spark
+
+    return synth_spark(spark, n)

@@ -1,0 +1,112 @@
+"""Arrow-batched UDFs — the ONLY place Python touches row data.
+
+The reference processes one document per HTTP request and reloads its model
+per request (ml_service_app.py:59-60, predictor.py:70). Here everything is
+batch-vectorized: Spark hands us Arrow record batches as pandas DataFrames
+(`mapInPandas`), the kernels in ``functions/`` run per batch, and all state
+(regexes, gazetteer, LM tables) is module-level — loaded once per executor
+process at import, the Spark-idiomatic replacement for the reference's
+model-cache-on-disk (predictor.py:30-35).
+
+Zero per-row Python at the Spark level; per-element work inside a batch is
+intrinsic to regex tagging (as it would be for fastText/KenLM C calls).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from .functions import quality, tagger, textref
+
+# Scored columns appended by score_batch, in output order.
+SCORE_COLUMNS = [
+    "lang", "ppl", "keep", "drop_reason",
+    "tokens", "labels", "n_pii", "scrubbed_caption",
+]
+SCORE_DDL = (
+    "lang string, ppl double, keep boolean, drop_reason string, "
+    "tokens array<string>, labels array<string>, n_pii int, "
+    "scrubbed_caption string"
+)
+
+
+def score_batch(captions: pd.Series) -> pd.DataFrame:
+    """One fused scoring pass over a caption batch: langid + perplexity +
+    keep/drop heuristics + BIO PII tagging + scrub (SURVEY.md §2.9 UDF
+    batch 1+2 fused — one Arrow hop instead of two)."""
+    caps = captions.fillna("")
+    langs = caps.map(quality.langid_char_ngram)
+    ppls = caps.map(quality.perplexity)
+    kd = [
+        quality.keep_decision(c, l, p)
+        for c, l, p in zip(caps, langs, ppls)
+    ]
+    tagged = caps.map(tagger.tag)
+    scrubbed = caps.map(tagger.scrub)
+    return pd.DataFrame(
+        {
+            "lang": langs,
+            "ppl": ppls,
+            "keep": [k for k, _ in kd],
+            "drop_reason": [r for _, r in kd],
+            "tokens": [t for t, _ in tagged],
+            "labels": [l for _, l in tagged],
+            "n_pii": pd.Series([n for _, n in scrubbed], dtype="int32"),
+            "scrubbed_caption": [s for s, _ in scrubbed],
+        },
+        index=caps.index,
+    )
+
+
+def make_score_iter(passthrough_cols: list[str], caption_col: str = "caption"):
+    """mapInPandas function: passthrough + scored columns."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            scored = score_batch(pdf[caption_col])
+            yield pd.concat([pdf[passthrough_cols], scored], axis=1)
+
+    return fn
+
+
+def predict_pipeline_batch(texts: pd.Series) -> pd.DataFrame:
+    """The reference's /save-essay ML path (SURVEY.md §3.1), batched:
+    A1 decode → A2 tokenize → A12 tag → scrub. Emits the document-table
+    shape columns (tokens, labels) plus scrubbed text."""
+    decoded = texts.fillna("").map(textref.decode_escapes)
+    tagged = decoded.map(tagger.tag)
+    scrubbed = decoded.map(tagger.scrub)
+    return pd.DataFrame(
+        {
+            "full_text": decoded,
+            "tokens": [t for t, _ in tagged],
+            "labels": [l for _, l in tagged],
+            "scrubbed_text": [s for s, _ in scrubbed],
+            "n_pii": pd.Series([n for _, n in scrubbed], dtype="int32"),
+        },
+        index=texts.index,
+    )
+
+
+def decode_image_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Image decode + PSNR-vs-reencode invariant columns (test/verification
+    path; the decode itself is the pluggable-codec seam — imagecodec.py)."""
+    import numpy as np
+
+    from .sources import imagecodec
+
+    rows = []
+    for data, fmt in zip(pdf["bytes"], pdf["fmt"]):
+        try:
+            px = imagecodec.decode(bytes(data), fmt)
+            rows.append(
+                (int(px.shape[1]), int(px.shape[0]), float(np.mean(px)), True)
+            )
+        except Exception:
+            rows.append((0, 0, 0.0, False))
+    out = pd.DataFrame(
+        rows, columns=["dec_w", "dec_h", "mean_px", "decode_ok"], index=pdf.index
+    )
+    return out

@@ -1,0 +1,128 @@
+"""End-to-end tests for the flagship stage: golden parity between the
+distributed pipeline and the pure-Python reference semantics, plus the
+north-rule invariants (resume, pixel/caption preservation, bucketing)."""
+
+import os
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from pii_detection_service_spark.functions import quality, tagger
+from pii_detection_service_spark.plans import stage
+from pii_detection_service_spark.sources import imagecodec, synth
+
+N = 300
+
+
+@pytest.fixture(scope="module")
+def src(spark):
+    return stage.read_synth_or_generate(spark, N).cache()
+
+
+def test_scored_matches_pure_python_golden(spark, src):
+    """F1 target anchor: the Spark pipeline's keep/drop + scrubbed caption
+    must agree with the shared pure-Python semantics on every row (exact
+    agreement ⇒ F1 = 1.0 ≥ 0.99)."""
+    scored = stage.score(src).select(
+        "image_id", "caption", "lang", "keep", "drop_reason", "scrubbed_caption", "n_pii"
+    )
+    rows = {r["image_id"]: r for r in scored.collect()}
+    assert len(rows) == N
+    mismatches = 0
+    for i in range(N):
+        image_id = f"img_{i:08d}"
+        cap = synth.caption_for(i)
+        lang = quality.langid_char_ngram(cap)
+        keep, reason = quality.keep_decision(cap, lang, quality.perplexity(cap))
+        scrubbed, n_pii = tagger.scrub(cap)
+        r = rows[image_id]
+        if (
+            r["keep"] != keep
+            or r["drop_reason"] != reason
+            or r["scrubbed_caption"] != scrubbed
+            or r["n_pii"] != n_pii
+            or r["lang"] != lang
+        ):
+            mismatches += 1
+    assert mismatches == 0
+
+
+def test_caption_byte_equality_for_kept_clean_rows(spark, src):
+    scored = stage.score(src)
+    kept_clean = scored.where(F.col("keep") & (F.col("n_pii") == 0))
+    bad = kept_clean.where(F.col("scrubbed_caption") != F.col("caption")).count()
+    assert bad == 0
+    assert kept_clean.count() > 0
+
+
+def test_pixel_preservation_invariant(spark, src):
+    """input_hint invariant: decoded pixels allclose / PSNR≥40dB vs source."""
+    sample = src.limit(30).select("image_id", "bytes", "fmt").collect()
+    for r in sample:
+        i = int(r["image_id"].split("_")[1])
+        px = synth.pixels_for(i)
+        dec = imagecodec.decode(bytes(r["bytes"]), r["fmt"])
+        if r["fmt"] == "png":
+            assert np.array_equal(px, dec)
+        else:
+            assert imagecodec.psnr(px, dec) >= 40.0
+
+
+def test_run_stage_and_resume(spark, src, tmp_path):
+    out = str(tmp_path / "stage_out")
+    m1 = stage.run_stage(spark, src, out, n_buckets=8, salt_factor=2)
+    assert m1["rows"] == N
+    assert 0 < m1["kept"] < N
+    assert m1["pii_rows"] > 0
+
+    # output is partitioned by bucket on disk (explicit phash-derived layout)
+    buckets = sorted(
+        d for d in os.listdir(os.path.join(out, "data")) if d.startswith("bucket=")
+    )
+    assert len(buckets) == 8
+
+    # lineage has one done row per bucket
+    lineage = spark.read.parquet(os.path.join(out, "lineage"))
+    assert lineage.where("status = 'done'").select("bucket").distinct().count() == 8
+    assert lineage.count() == 8
+
+    # resume: everything complete → no recompute, no duplicate rows/lineage
+    m2 = stage.run_stage(spark, src, out, n_buckets=8, salt_factor=2)
+    assert m2["resumed_noop"]
+    data = spark.read.parquet(os.path.join(out, "data"))
+    assert data.count() == N
+    assert spark.read.parquet(os.path.join(out, "lineage")).count() == 8
+
+
+def test_resume_processes_only_missing_buckets(spark, src, tmp_path):
+    out = str(tmp_path / "partial_out")
+    # simulate a crashed run: process only buckets 0-3 by pre-marking 4-7 done
+    pre = spark.createDataFrame(
+        [(b, 0, 0, 0, 0.0, "done") for b in range(4, 8)],
+        "bucket int, n_rows long, n_kept long, n_pii_rows long, runtime_sec double, status string",
+    )
+    os.makedirs(out, exist_ok=True)
+    pre.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "lineage"))
+
+    m = stage.run_stage(spark, src, out, n_buckets=8, salt_factor=2)
+    expected = (
+        stage.with_bucket(src, 8).where(F.col("bucket") < 4).count()
+    )
+    assert m["rows"] == expected  # only pending buckets were scored
+    data = spark.read.parquet(os.path.join(out, "data"))
+    assert set(
+        r["bucket"] for r in data.select("bucket").distinct().collect()
+    ) == set(range(4))
+
+
+def test_stage_plan_is_map_only_plus_one_shuffle(spark, src):
+    """Scale guard: scoring adds NO shuffle; the job's only exchange is the
+    explicit (bucket, salt) repartition."""
+    df = stage.with_bucket(src, 8)
+    scored = stage.score(df)
+    salted = scored.withColumn(
+        "salt", F.pmod(F.xxhash64("image_id"), F.lit(2)).cast("int")
+    ).repartition(16, "bucket", "salt")
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
