@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship quality-filter + PII-scrub scoring over sf0.001.
+queries()     — every implemented operator (SURVEY.md §2 + training-data
+                pipeline family), one callable per name.
+oracle_sql()  — exact DuckDB twin per query (omitted only for the two
+                UDF-backed pipeline queries: langid char-ngram model,
+                perplexity LM and the regex tagger are not SQL-expressible;
+                the driver records rows-only checks for those).
 """
 
 from __future__ import annotations
@@ -13,26 +15,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pii_detection_service_spark import queries as q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: score sf0.001 documents through the full quality-filter +
+    PII-scrub pass (langid, perplexity, keep/drop, BIO tag, scrub)."""
+    return q.SPARK_BUILDERS["pipeline_score_documents"](
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(q.SPARK_BUILDERS)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, sql in q.ORACLES.items() if sql is not None}

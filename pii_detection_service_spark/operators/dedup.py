@@ -1,0 +1,157 @@
+"""Deduplication family for the training-data pipeline — the operators a
+100 TB caption corpus actually needs, each Spark-native (higher-order
+functions, no Python UDFs) so the hot path stays in the JVM.
+
+Scale notes:
+- exact:    one hash-groupBy shuffle on md5(text) — map-side partial agg.
+- minhash:  signatures are per-row map-only; candidate pairing happens on
+            banded signature groupBy (shuffle keyed on small band strings).
+- simhash:  per-row map-only 16-bit sketch; near-dups = equal sketch.
+- jaccard:  exact verify step on *blocked* pairs only (lang, source) —
+            the expensive O(n²) join is bounded by block size, the same
+            verify-after-candidates shape the minhash-LSH paper uses.
+- embedding near-dup: blocked brute-force cosine; see similarity.py for
+            the LSH-bucketed ANN scale path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .relational import table
+
+# Fixed minhash permutation parameters (k=8), small primes — portable to
+# the SQL oracle verbatim.
+MINHASH_A = [2, 3, 5, 7, 11, 13, 17, 19]
+MINHASH_B = [1, 2, 3, 4, 5, 6, 7, 8]
+MOD = 1_000_000_007
+
+# Shared sub-expressions (SQL strings so the DuckDB oracle mirrors 1:1).
+_CHAR_SHINGLES = "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"
+_HASH_ONE = "aggregate(transform(split({s}, ''), c -> ascii(c)), 0L, (acc, x) -> (acc * 31 + x) % 1000000007)"
+_SHINGLE_HASHES = f"transform({_CHAR_SHINGLES}, s -> {_HASH_ONE.format(s='s')})"
+_WORD_HASHES = "transform(split(text, ' '), w -> " + _HASH_ONE.format(s="w") + ")"
+
+
+def exact_dedup(spark, sf_dir) -> DataFrame:
+    """Exact dedup: group on content hash, keep the smallest id (stable
+    survivor rule), count multiplicity."""
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signatures(spark, sf_dir) -> DataFrame:
+    """MinHash (k=8) over distinct character 3-gram shingles. Map-only:
+    shingle → rolling-hash → k permuted mins, all in JVM codegen."""
+    d = table(spark, sf_dir, "documents").where(F.length("text") >= 3)
+    cols = [
+        F.expr(
+            f"array_min(transform({_SHINGLE_HASHES}, h -> ({a} * h + {b}) % {MOD}))"
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return d.select("doc_id", *cols)
+
+
+def minhash_band_candidates(spark, sf_dir) -> DataFrame:
+    """LSH banding (4 bands × 2 rows): docs sharing any band key are
+    near-dup candidates. Returns per-band bucket sizes — the shuffle is
+    keyed on tiny band strings, never on document text."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = None
+    for band in range(4):
+        b = sig.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.concat_ws(
+                "_", F.col(f"mh{2 * band}"), F.col(f"mh{2 * band + 1}")
+            ).alias("band_key"),
+        )
+        bands = b if bands is None else bands.unionAll(b)
+    return (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def simhash(spark, sf_dir) -> DataFrame:
+    """16-bit SimHash over word hashes: bit b set iff the sum of ±1 votes
+    from each word's bit b is positive. Near-dups share the sketch."""
+    d = table(spark, sf_dir, "documents")
+    sim = F.expr(
+        "aggregate(sequence(0, 15), 0L, (acc, b) -> acc + "
+        f"case when aggregate({_WORD_HASHES}, 0L, "
+        "(a, h) -> a + case when (h div shiftleft(1L, b)) % 2 = 1 then 1 else -1 end"
+        ") > 0 then shiftleft(1L, b) else 0L end)"
+    )
+    return d.select("doc_id", sim.alias("simhash16"))
+
+
+def jaccard_pairs(spark, sf_dir) -> DataFrame:
+    """Exact n-gram Jaccard verification over blocked candidate pairs.
+    Blocking on (lang, source) bounds the self-join; top pairs returned
+    deterministically (rounded score, then ids)."""
+    d = table(spark, sf_dir, "documents").where(F.length("text") >= 3)
+    sh = d.select(
+        "doc_id", "lang", "source", F.expr(_CHAR_SHINGLES).alias("shingles")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    jac = F.round(
+        F.size(F.array_intersect("a.shingles", "b.shingles"))
+        / F.size(F.array_union("a.shingles", "b.shingles")),
+        4,
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jac"),
+        )
+        .orderBy(F.col("jac").desc(), "doc_a", "doc_b")
+        .limit(200)
+    )
+
+
+def embedding_near_dup(spark, sf_dir) -> DataFrame:
+    """Embedding-cosine near-dup: blocked (by label) brute-force pairs,
+    double-precision cosine, deterministic top-50."""
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    nrm = lambda side: F.sqrt(
+        F.expr(
+            f"aggregate(transform({side}.v, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+    )
+    cos = F.round(dot / (nrm("a") * nrm("b")), 4)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "vec_a", "vec_b")
+        .limit(50)
+    )

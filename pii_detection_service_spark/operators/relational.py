@@ -1,0 +1,181 @@
+"""Relational operators from SURVEY.md §2.2/§2.4 (F1-F7, G1-G3, S8) plus
+engine-health aggregates, expressed Catalyst-native so filters/limits push
+into the parquet scan and aggregates stay in whole-stage codegen.
+
+Each function takes (spark, sf_dir) and returns a DataFrame whose column
+names match the paired DuckDB oracle in queries.py exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def filter_sort_limit(spark, sf_dir) -> DataFrame:
+    """F1 — the reference's entire query language: conjunctive equality
+    filter + ORDER BY + LIMIT (database_manager.py:79-99). doc_id breaks
+    ties so the limit is deterministic."""
+    return (
+        table(spark, sf_dir, "documents")
+        .where((F.col("lang") == "en") & (F.col("source") == "src0"))
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .limit(100)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def point_lookup(spark, sf_dir) -> DataFrame:
+    """F2 — point lookup by key (ml_service_app.py:50 et al.)."""
+    return (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") == 42)
+        .limit(1)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+
+def notnull_topn(spark, sf_dir) -> DataFrame:
+    """F3 — NOT NULL filter + top-N recency (backend_service_app.py:241-244).
+    We keep SQL filter-then-limit semantics (the reference filters after
+    limit — a documented divergence, SURVEY.md §2.2)."""
+    return (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .limit(10)
+        .select("doc_id", "n_chars")
+    )
+
+
+def truncate_preview(spark, sf_dir) -> DataFrame:
+    """F6 — display truncation (backend_service_app.py:261-263)."""
+    t = F.col("text")
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.length(t) > 50, F.concat(F.substring(t, 1, 50), F.lit("..."))
+        )
+        .otherwise(t)
+        .alias("preview"),
+    )
+
+
+def slice_inner(spark, sf_dir) -> DataFrame:
+    """F7 — strip first/last element (sentinel slice tokens[1:-1],
+    backend_service_app.py:184-185). Words play the token role; output is
+    re-joined so the oracle compares strings, not array encodings."""
+    words = F.split(F.col("text"), " ")
+    return (
+        table(spark, sf_dir, "documents")
+        .where(F.size(words) >= 3)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice(words, 2, F.size(words) - 2)
+            ).alias("inner_text"),
+        )
+    )
+
+
+def span_export(spark, sf_dir) -> DataFrame:
+    """S8 — long-format span export via posexplode (sample_output.csv
+    shape: one row per tagged token). Gazetteer words stand in for PII."""
+    df = table(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    return df.where(F.col("token").isin("spark", "join", "hash")).select(
+        "doc_id", "pos", "token"
+    )
+
+
+def group_metrics(spark, sf_dir) -> DataFrame:
+    """G3-style metrics aggregate (the target pipeline's honest groupBy)."""
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def fbeta_drift(spark, sf_dir) -> DataFrame:
+    """G1+G2 — micro-F5 as exact conditional-count aggregation + drift
+    predicate (evaluator.py:9-17; threshold constants.py:19). Pseudo truth/
+    pred labels derive deterministically from columns; β=5 ⇒ (1+β²)=26."""
+    t = F.col("doc_id") % 13
+    p = F.col("n_chars") % 13
+    tp = F.sum(F.when(t == p, 1).otherwise(0))
+    mism = F.sum(F.when(t != p, 1).otherwise(0))
+    f5 = F.round(
+        (26.0 * tp) / (26.0 * tp + 25.0 * mism + mism), 6
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            tp.alias("tp"),
+            mism.alias("mism"),
+            f5.alias("f5"),
+            (f5 < 0.8).alias("drifting"),
+        )
+    )
+
+
+def lineitem_pricing(spark, sf_dir) -> DataFrame:
+    """TPC-H Q1-shaped engine-health aggregate. Decimal sums keep the
+    oracle comparison exact (double sums are shuffle-order-dependent)."""
+    li = table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1.0).cast("decimal(18,4)") - disc))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def events_hourly(spark, sf_dir) -> DataFrame:
+    """Hourly event rollup (honest time-bucketed aggregate over events)."""
+    ev = table(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(18,6)")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").cast("string").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(val).cast("double") / F.count(F.lit(1)), 4).alias("avg_value"),
+        )
+    )
+
+
+def validated_coalesce(spark, sf_dir) -> DataFrame:
+    """The reference's `validated_labels ?? labels` choice
+    (backend_service_app.py:265-269) as native coalesce over documents
+    (source stands in for the validated column when lang is null — columns
+    here are non-null, so exercise coalesce on a derived nullable)."""
+    d = table(spark, sf_dir, "documents")
+    nullable = F.when(F.col("n_chars") % 3 == 0, F.col("source"))
+    return d.select(
+        "doc_id",
+        F.coalesce(nullable, F.col("lang")).alias("effective_label"),
+    )

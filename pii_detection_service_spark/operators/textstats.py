@@ -1,0 +1,138 @@
+"""Text-analysis operators for the training-data pipeline, expressed with
+native Spark functions (whole-stage codegen, no Python) wherever the
+semantics allow. Each has an exact DuckDB oracle in queries.py.
+
+- stopword langid (SQL-portable twin of quality.langid_stopword)
+- quality scoring (length / symbol ratio / repetition / word entropy)
+- token counting (whitespace + BPE-ish regex)
+- document fingerprinting (polynomial rolling hash)
+- BIO label derivation + prefix strip (A8 — fully native higher-order fns)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.quality import LANG_MARKERS
+from .relational import table
+
+
+def _marker_count(col: str, langcode: str):
+    pat = r"\b(?:%s)\b" % "|".join(LANG_MARKERS[langcode])
+    return F.size(F.regexp_extract_all(F.lower(F.col(col)), F.lit(pat), F.lit(0)))
+
+
+def langid_stopword(spark, sf_dir) -> DataFrame:
+    """Marker-word-voting language ID; exact twin of
+    quality.langid_stopword (ties → lexicographically smallest code)."""
+    d = table(spark, sf_dir, "documents")
+    scores = {l: _marker_count("text", l).alias(f"{l}_s") for l in sorted(LANG_MARKERS)}
+    d = d.select("doc_id", *scores.values())
+    best = F.greatest(*[F.col(f"{l}_s") for l in sorted(LANG_MARKERS)])
+    pred = F.when(best == 0, "und")
+    for l in sorted(LANG_MARKERS):  # alphabetical ⇒ python min() tie-break
+        pred = pred.when(F.col(f"{l}_s") == best, l)
+    return d.select(
+        "doc_id", "de_s", "en_s", "es_s", "fr_s", pred.alias("lang_pred")
+    )
+
+
+def quality_score(spark, sf_dir) -> DataFrame:
+    """Keep/drop heuristics computed 100% JVM-side: at 100 TB these rules
+    run in codegen over the scan with zero Python."""
+    d = table(spark, sf_dir, "documents")
+    text = F.col("text")
+    words = F.split(text, " ")
+    n_chars = F.length(text)
+    n_words = F.size(words)
+    n_sym = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    counts = F.expr(
+        "transform(array_distinct(split(text, ' ')), "
+        "w -> size(filter(split(text, ' '), x -> x = w)))"
+    )
+    sym_ratio = F.round(n_sym / n_chars, 6)
+    top_ratio = F.round(F.array_max(counts) / n_words, 6)
+    entropy = F.round(
+        -F.expr(
+            "aggregate(transform(array_distinct(split(text, ' ')), "
+            "w -> size(filter(split(text, ' '), x -> x = w))), "
+            "cast(0.0 as double), "
+            "(acc, c) -> acc + (c / size(split(text, ' '))) * ln(c / size(split(text, ' '))))"
+        ),
+        6,
+    )
+    keep = (
+        (n_chars >= 10)
+        & (n_chars <= 2048)
+        & (n_words >= 3)
+        & (sym_ratio <= 0.3)
+        & (top_ratio <= 0.5)
+    )
+    reason = (
+        F.when(n_chars < 10, "too_short")
+        .when(n_chars > 2048, "too_long")
+        .when(n_words < 3, "too_few_words")
+        .when(sym_ratio > 0.3, "symbol_heavy")
+        .when(top_ratio > 0.5, "repetitive")
+        .otherwise("")
+    )
+    return d.select(
+        "doc_id",
+        n_chars.alias("len_chars"),
+        n_words.alias("n_words"),
+        sym_ratio.alias("symbol_ratio"),
+        top_ratio.alias("top_word_ratio"),
+        entropy.alias("word_entropy"),
+        keep.alias("keep"),
+        reason.alias("drop_reason"),
+    )
+
+
+def token_count(spark, sf_dir) -> DataFrame:
+    """Token counting: whitespace words + BPE-ish regex token count
+    (letter runs / digit runs / single symbols)."""
+    d = table(spark, sf_dir, "documents")
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), F.lit(0)
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+    )
+
+
+def fingerprint(spark, sf_dir) -> DataFrame:
+    """Document fingerprint: polynomial rolling hash over codepoints,
+    mod 1e9+7 — native aggregate (JVM), portable to the SQL oracle."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.expr(
+        "aggregate(transform(split(text, ''), c -> ascii(c)), 0L, "
+        "(acc, x) -> (acc * 31 + x) % 1000000007)"
+    )
+    return d.select("doc_id", fp.alias("fp"))
+
+
+def label_strip(spark, sf_dir) -> DataFrame:
+    """A8 — BIO prefix strip as a native higher-order transform
+    (validation_preprocessor.py:7-13). Pseudo-BIO labels derive per word
+    (email-ish → B-EMAIL, numeric → B-ID_NUM, capitalized → B-NAME_STUDENT);
+    output re-joined for robust comparison."""
+    d = table(spark, sf_dir, "documents")
+    labels = F.expr(
+        "transform(split(text, ' '), w -> "
+        "case when w like '%@%' then 'B-EMAIL' "
+        "when w rlike '^[0-9]+$' then 'B-ID_NUM' "
+        "when w rlike '^[A-Z]' then 'B-NAME_STUDENT' "
+        "else 'O' end)"
+    )
+    stripped = F.transform(labels, lambda l: F.regexp_replace(l, "^[BI]-", ""))
+    n_pii = F.size(F.filter(labels, lambda l: l != "O"))
+    return d.select(
+        "doc_id",
+        F.concat_ws(" ", stripped).alias("stripped_labels"),
+        n_pii.alias("n_pii_tokens"),
+    )

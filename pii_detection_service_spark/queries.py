@@ -1,0 +1,316 @@
+"""Driver-contract query registry: name → (Spark builder, DuckDB oracle SQL).
+
+Every SQL-expressible operator from SURVEY.md §2 plus the training-data
+pipeline family (dedup / similarity / text analysis) is registered here with
+an exact ANSI-SQL twin. Column names and types are aligned on both sides
+(the driver's compare sorts columns by name and value-hashes rows).
+
+Portability rules used throughout (verified empirically against DuckDB 1.0
+and Spark 4.1):
+- rolling hash `(acc*31 + ascii(c)) % 1e9+7` folds identically
+  (Spark `aggregate` / DuckDB `list_reduce` are both sequential left folds);
+- float sums are done in DOUBLE with identical fold order, then rounded;
+- decimal casts make big SUMs shuffle-order-independent and exact;
+- counts are cast so INT/BIGINT widths agree across engines.
+"""
+
+from __future__ import annotations
+
+from .operators import dedup, pipeline, relational, similarity, textstats
+
+# ---------------------------------------------------------------------------
+# Oracle SQL fragments shared across queries (mirror operators/*.py).
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = (
+    "SELECT doc_id, lang, source, "
+    "list_distinct(list_transform(range(1, length(text) - 1), "
+    "i -> substr(text, i::INTEGER, 3))) AS shingles "
+    "FROM documents WHERE length(text) >= 3"
+)
+
+_HASH_LIST = (
+    "list_transform({col}, sh -> list_reduce("
+    "list_prepend(0::BIGINT, list_transform(string_split(sh, ''), "
+    "c -> ascii(c)::BIGINT)), (a, x) -> (a * 31 + x) % 1000000007))"
+)
+
+_DOT_D = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(list_zip({u}, {v}), p -> p[1] * p[2])), (x, y) -> x + y)"
+)
+_NORM_D = (
+    "sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform({u}, x -> x * x)), (a, x) -> a + x))"
+)
+
+
+def _minhash_cols() -> str:
+    cols = []
+    for j, (a, b) in enumerate(zip(dedup.MINHASH_A, dedup.MINHASH_B)):
+        cols.append(
+            f"list_min(list_transform(hs, h -> ({a} * h + {b}) % 1000000007)) AS mh{j}"
+        )
+    return ", ".join(cols)
+
+
+_MINHASH_SQL = (
+    "WITH s AS (" + _SHINGLES_CTE + "), "
+    "h AS (SELECT doc_id, " + _HASH_LIST.format(col="shingles") + " AS hs FROM s) "
+    "SELECT doc_id, " + _minhash_cols() + " FROM h"
+)
+
+_QUALITY_SQL = """
+WITH base AS (
+  SELECT doc_id, text, string_split(text, ' ') AS words, length(text) AS n_chars
+  FROM documents
+), c AS (
+  SELECT doc_id, n_chars, words,
+         len(words)::INTEGER AS n_words,
+         (n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) AS n_sym,
+         list_transform(list_distinct(words),
+                        w -> len(list_filter(words, x -> x = w))) AS counts
+  FROM base
+)
+SELECT doc_id,
+       n_chars::INTEGER AS len_chars,
+       n_words,
+       round(n_sym / n_chars, 6) AS symbol_ratio,
+       round(list_max(counts) / n_words, 6) AS top_word_ratio,
+       round(-list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(counts, c2 -> (c2 / len(words)) * ln(c2 / len(words)))),
+             (a, x) -> a + x), 6) AS word_entropy,
+       (n_chars >= 10 AND n_chars <= 2048 AND n_words >= 3
+        AND round(n_sym / n_chars, 6) <= 0.3
+        AND round(list_max(counts) / n_words, 6) <= 0.5) AS keep,
+       CASE WHEN n_chars < 10 THEN 'too_short'
+            WHEN n_chars > 2048 THEN 'too_long'
+            WHEN n_words < 3 THEN 'too_few_words'
+            WHEN round(n_sym / n_chars, 6) > 0.3 THEN 'symbol_heavy'
+            WHEN round(list_max(counts) / n_words, 6) > 0.5 THEN 'repetitive'
+            ELSE '' END AS drop_reason
+FROM c
+"""
+
+_LANGID_SQL = """
+SELECT doc_id, de_s, en_s, es_s, fr_s,
+       CASE WHEN best = 0 THEN 'und'
+            WHEN de_s = best THEN 'de'
+            WHEN en_s = best THEN 'en'
+            WHEN es_s = best THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM (
+  SELECT *, greatest(de_s, en_s, es_s, fr_s) AS best FROM (
+    SELECT doc_id,
+      len(regexp_extract_all(lower(text), '\\b(?:der|die|und|das|mit|für|ist)\\b'))::INTEGER AS de_s,
+      len(regexp_extract_all(lower(text), '\\b(?:the|and|is|of|to|with|for)\\b'))::INTEGER AS en_s,
+      len(regexp_extract_all(lower(text), '\\b(?:el|la|de|que|los|con|por)\\b'))::INTEGER AS es_s,
+      len(regexp_extract_all(lower(text), '\\b(?:le|la|les|des|est|avec|pour)\\b'))::INTEGER AS fr_s
+    FROM documents) s1) s2
+"""
+
+_SIMHASH_VOTE = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(hs, "
+    "h -> CASE WHEN (h // (1::BIGINT << b::INTEGER)) % 2 = 1 "
+    "THEN 1::BIGINT ELSE -1::BIGINT END)), (a, x) -> a + x)"
+)
+
+_SIMHASH_SQL = (
+    "WITH h AS (SELECT doc_id, "
+    + _HASH_LIST.format(col="string_split(text, ' ')")
+    + " AS hs FROM documents) "
+    "SELECT doc_id, list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(range(0, 16), b -> CASE WHEN " + _SIMHASH_VOTE + " > 0 "
+    "THEN (1::BIGINT << b::INTEGER) ELSE 0::BIGINT END)), (a, x) -> a + x) "
+    "AS simhash16 FROM h"
+)
+
+_BANDS_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, {band} AS band, "
+    f"mh{2 * band}::VARCHAR || '_' || mh{2 * band + 1}::VARCHAR AS band_key FROM sig"
+    for band in range(4)
+)
+
+ORACLES: dict[str, str | None] = {
+    # --- reference relational operators (SURVEY §2.2/§2.4) ---
+    "f1_filter_sort_limit": """
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE lang = 'en' AND source = 'src0'
+        ORDER BY n_chars DESC, doc_id LIMIT 100
+    """,
+    "f2_point_lookup": """
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        WHERE doc_id = 42 LIMIT 1
+    """,
+    "f3_notnull_topn": """
+        SELECT doc_id, n_chars FROM documents
+        WHERE text IS NOT NULL ORDER BY n_chars DESC, doc_id LIMIT 10
+    """,
+    "f6_truncate_preview": """
+        SELECT doc_id,
+               CASE WHEN length(text) > 50 THEN substr(text, 1, 50) || '...'
+                    ELSE text END AS preview
+        FROM documents
+    """,
+    "f7_slice_inner": """
+        SELECT doc_id,
+               array_to_string(list_slice(string_split(text, ' '), 2,
+                               len(string_split(text, ' ')) - 1), ' ') AS inner_text
+        FROM documents WHERE len(string_split(text, ' ')) >= 3
+    """,
+    "s8_span_export": """
+        SELECT doc_id, (t.u.pos - 1)::INTEGER AS pos, t.u.tok AS token
+        FROM (SELECT doc_id,
+                     unnest(list_transform(string_split(text, ' '),
+                            (x, i) -> {'pos': i, 'tok': x})) AS u
+              FROM documents) t
+        WHERE t.u.tok IN ('spark', 'join', 'hash')
+    """,
+    "g3_group_metrics": """
+        SELECT lang, source, count(*)::BIGINT AS n,
+               round(avg(n_chars), 4) AS avg_chars,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        FROM documents GROUP BY lang, source
+    """,
+    "g1_fbeta_drift": """
+        SELECT lang, tp::BIGINT AS tp, mism::BIGINT AS mism,
+               round((26.0 * tp) / (26.0 * tp + 25.0 * mism + mism), 6) AS f5,
+               round((26.0 * tp) / (26.0 * tp + 25.0 * mism + mism), 6) < 0.8 AS drifting
+        FROM (SELECT lang,
+                     sum(CASE WHEN doc_id % 13 = n_chars % 13 THEN 1 ELSE 0 END) AS tp,
+                     sum(CASE WHEN doc_id % 13 <> n_chars % 13 THEN 1 ELSE 0 END) AS mism
+              FROM documents GROUP BY lang) t
+    """,
+    "validated_coalesce": """
+        SELECT doc_id,
+               coalesce(CASE WHEN n_chars % 3 = 0 THEN source END, lang) AS effective_label
+        FROM documents
+    """,
+    "lineitem_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+               CAST(sum(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+               CAST(sum(l_extendedprice::DECIMAL(18,2) *
+                        (1.0::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) AS DOUBLE)
+                    AS sum_disc_price,
+               round(CAST(sum(l_quantity::DECIMAL(18,2)) AS DOUBLE) / count(*), 4) AS avg_qty,
+               count(*)::BIGINT AS n
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "events_hourly": """
+        SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+               count(*)::BIGINT AS n,
+               round(CAST(sum(value::DECIMAL(18,6)) AS DOUBLE) / count(*), 4) AS avg_value
+        FROM events GROUP BY 1, 2
+    """,
+    # --- text analysis ---
+    "langid_stopword": _LANGID_SQL,
+    "quality_score": _QUALITY_SQL,
+    "token_count": """
+        SELECT doc_id,
+               len(string_split(text, ' '))::INTEGER AS n_ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))::INTEGER
+                   AS n_bpe_tokens
+        FROM documents
+    """,
+    "fingerprint": (
+        "SELECT doc_id, list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)), "
+        "(acc, x) -> (acc * 31 + x) % 1000000007) AS fp FROM documents"
+    ),
+    "label_strip": """
+        SELECT doc_id,
+               array_to_string(list_transform(labels,
+                   l -> regexp_replace(l, '^[BI]-', '')), ' ') AS stripped_labels,
+               len(list_filter(labels, l -> l <> 'O'))::INTEGER AS n_pii_tokens
+        FROM (SELECT doc_id,
+                     list_transform(string_split(text, ' '), w ->
+                        CASE WHEN w LIKE '%@%' THEN 'B-EMAIL'
+                             WHEN regexp_matches(w, '^[0-9]+$') THEN 'B-ID_NUM'
+                             WHEN regexp_matches(w, '^[A-Z]') THEN 'B-NAME_STUDENT'
+                             ELSE 'O' END) AS labels
+              FROM documents) t
+    """,
+    # --- dedup family ---
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
+               count(*)::BIGINT AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_minhash_signatures": _MINHASH_SQL,
+    "dedup_minhash_bands": (
+        "WITH sig AS (" + _MINHASH_SQL + "), bands AS (" + _BANDS_UNION + ") "
+        "SELECT band, band_key, count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc "
+        "FROM bands GROUP BY band, band_key HAVING count(*) > 1"
+    ),
+    "dedup_simhash": _SIMHASH_SQL,
+    "dedup_jaccard_pairs": (
+        "WITH sh AS (" + _SHINGLES_CTE + ") "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "round(len(list_intersect(a.shingles, b.shingles)) / "
+        "len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jac "
+        "FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source "
+        "AND a.doc_id < b.doc_id "
+        "ORDER BY jac DESC, doc_a, doc_b LIMIT 200"
+    ),
+    "dedup_embedding_cosine": (
+        "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings) "
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        "round(" + _DOT_D.format(u="a.v", v="b.v") + " / ("
+        + _NORM_D.format(u="a.v") + " * " + _NORM_D.format(u="b.v") + "), 4) AS cos "
+        "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id "
+        "ORDER BY cos DESC, vec_a, vec_b LIMIT 50"
+    ),
+    # --- similarity search ---
+    "sim_topk_cosine": (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0) "
+        "SELECT e.vec_id, round(" + _DOT_D.format(u="e.v", v="qv") + " / ("
+        + _NORM_D.format(u="e.v") + " * " + _NORM_D.format(u="qv") + "), 4) AS cos "
+        "FROM e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10"
+    ),
+    "ann_lsh_buckets": (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "anch AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id BETWEEN 1 AND 8) "
+        "SELECT bucket, count(*)::BIGINT AS n_vecs FROM ("
+        "SELECT e.vec_id, sum(CASE WHEN " + _DOT_D.format(u="e.v", v="av")
+        + " > 0 THEN (1::BIGINT << (aid - 1)::INTEGER) ELSE 0::BIGINT END)::BIGINT AS bucket "
+        "FROM e, anch GROUP BY e.vec_id) t GROUP BY bucket"
+    ),
+    # --- UDF-backed pipeline queries: rows-only driver check ---
+    "pipeline_score_documents": None,
+    "pipeline_predict_documents": None,
+}
+
+SPARK_BUILDERS = {
+    "f1_filter_sort_limit": relational.filter_sort_limit,
+    "f2_point_lookup": relational.point_lookup,
+    "f3_notnull_topn": relational.notnull_topn,
+    "f6_truncate_preview": relational.truncate_preview,
+    "f7_slice_inner": relational.slice_inner,
+    "s8_span_export": relational.span_export,
+    "g3_group_metrics": relational.group_metrics,
+    "g1_fbeta_drift": relational.fbeta_drift,
+    "validated_coalesce": relational.validated_coalesce,
+    "lineitem_pricing": relational.lineitem_pricing,
+    "events_hourly": relational.events_hourly,
+    "langid_stopword": textstats.langid_stopword,
+    "quality_score": textstats.quality_score,
+    "token_count": textstats.token_count,
+    "fingerprint": textstats.fingerprint,
+    "label_strip": textstats.label_strip,
+    "dedup_exact": dedup.exact_dedup,
+    "dedup_minhash_signatures": dedup.minhash_signatures,
+    "dedup_minhash_bands": dedup.minhash_band_candidates,
+    "dedup_simhash": dedup.simhash,
+    "dedup_jaccard_pairs": dedup.jaccard_pairs,
+    "dedup_embedding_cosine": dedup.embedding_near_dup,
+    "sim_topk_cosine": similarity.topk_cosine,
+    "ann_lsh_buckets": similarity.lsh_buckets,
+    "pipeline_score_documents": pipeline.score_documents,
+    "pipeline_predict_documents": pipeline.predict_documents,
+}
+
+assert set(ORACLES) == set(SPARK_BUILDERS)
