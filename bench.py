@@ -1,0 +1,114 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline set = the flagship scoring stage (the north-rule workload) plus the
+operators that dominate a training-data pipeline at scale (dedup sketches,
+similarity, core aggregates). Metric: images/sec of the flagship stage
+(rows scored per second), per-query wall seconds alongside.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("pii-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pii_detection_service_spark import queries as q
+
+    headline = [
+        "pipeline_score_documents",   # flagship: langid+ppl+keep/drop+tag+scrub
+        "dedup_exact",
+        "dedup_minhash_signatures",
+        "dedup_simhash",
+        "sim_topk_cosine",
+        "ann_lsh_buckets",
+        "lineitem_pricing",
+        "events_hourly",
+        "quality_score",
+        "langid_stopword",
+        "fingerprint",
+        "g1_fbeta_drift",
+    ]
+
+    # Warm the Python worker pool (each worker cold-imports pandas/numpy
+    # once per session — a cluster amortizes this; the bench measures
+    # steady-state throughput, not interpreter startup).
+    import pandas as _pd  # noqa: F401
+
+    spark.range(0, int(cpus) * 4, 1, int(cpus)).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).count()
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in headline:
+        builder = q.SPARK_BUILDERS[name]
+        t0 = time.monotonic()
+        n = builder(spark, sf_dir).count()
+        times[name] = round(time.monotonic() - t0, 3)
+        rows[name] = n
+
+    # flagship throughput: the scoring stage over a pre-materialized
+    # image+caption table (input_hint schema), measured as images/sec.
+    # Generation is cached to parquet OUTSIDE the timed region so runs at
+    # different parallelism levels read the identical input files.
+    from pii_detection_service_spark.plans import stage
+
+    n_images = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "200000"))
+    cache = f"/tmp/spark_graft_bench_images_{n_images}.parquet"
+    if not os.path.isdir(cache):
+        stage.read_synth_or_generate(spark, n_images).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(cache)
+    src = spark.read.parquet(cache)
+    t0 = time.monotonic()
+    scored = stage.score(stage.with_bucket(src, 64))
+    n = scored.count()
+    t_images = time.monotonic() - t0
+    times["image_stage"] = round(t_images, 3)
+    rows["image_stage"] = n
+    images_per_sec = round(n / t_images, 1)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "rows": rows,
+                "images_per_sec": images_per_sec,
+                "cpus": int(cpus),
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,14 @@ def score_documents(spark, sf_dir) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").alias("caption")
     )
+    # Arrow scoring is CPU-bound: when the source provides fewer splits than
+    # cores (single-row-group parquet here), the one-off repartition is far
+    # cheaper than serializing the scoring on one task. At 100 TB the source
+    # has thousands of splits and AQE handles layout — this guard only
+    # triggers on small inputs.
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
     scored = d.mapInPandas(
         udfs.make_score_iter(["doc_id", "caption"]),
         schema=f"doc_id long, caption string, {udfs.SCORE_DDL}",
