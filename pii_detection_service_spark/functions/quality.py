@@ -73,27 +73,48 @@ def _bigram_logprobs(text: str) -> dict[str, float]:
 _PROFILES = {lang: _bigram_logprobs(txt) for lang, txt in _SEED_TEXT.items()}
 _FLOOR = math.log(1e-4)
 
+# Vectorized scoring tables: codepoints are clipped to 256 (all profile
+# bigrams are latin-1, so any clipped bigram scores the same _FLOOR a dict
+# miss would). Scalar and batch paths share these tables, so golden tests
+# and the Arrow UDFs agree bit-for-bit by construction.
+import numpy as np  # noqa: E402
+
+_LANGS = sorted(_PROFILES)
+_NC = 257  # 0..255 literal, 256 = "any non-latin codepoint"
+
+
+def _fill(table_col, prof):
+    for bg, lp in prof.items():
+        a, b = ord(bg[0]), ord(bg[1])
+        if a < 256 and b < 256:
+            table_col[a * _NC + b] = lp
+
+
+_LANG_TBL = np.full((_NC * _NC, len(_LANGS)), _FLOOR, dtype=np.float64)
+for _li, _lang in enumerate(_LANGS):
+    _fill(_LANG_TBL[:, _li], _PROFILES[_lang])
+
+_LM = _bigram_logprobs(" ".join(_SEED_TEXT.values()))
+_LM_TBL = np.full(_NC * _NC, _FLOOR, dtype=np.float64)
+_fill(_LM_TBL, _LM)
+
+
+def _bigram_ids(t: str) -> np.ndarray:
+    c = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+    c = np.minimum(c, 256).astype(np.int64)
+    return c[:-1] * _NC + c[1:]
+
 
 def langid_char_ngram(text: str) -> str:
-    """Argmax language by char-bigram log-likelihood; '' / no-letter → 'und'."""
+    """Argmax language by char-bigram log-likelihood; '' / no-letter → 'und'.
+    Ties break to the lexicographically smallest language code."""
     t = text.lower()
     if not any(c.isalpha() for c in t):
         return "und"
-    best_lang, best = "und", -math.inf
-    for lang, prof in _PROFILES.items():
-        ll = 0.0
-        n = 0
-        for i in range(len(t) - 1):
-            ll += prof.get(t[i : i + 2], _FLOOR)
-            n += 1
-        score = ll / max(n, 1)
-        if score > best or (score == best and lang < best_lang):
-            best_lang, best = lang, score
-    return best_lang
-
-
-# --- perplexity (KenLM-flavored char-bigram LM; UDF-only) -------------------
-_LM = _bigram_logprobs(" ".join(_SEED_TEXT.values()))
+    if len(t) < 2:
+        return "und"
+    sums = _LANG_TBL[_bigram_ids(t)].sum(axis=0)
+    return _LANGS[int(np.argmax(sums))]  # argmax → first max → smallest code
 
 
 def perplexity(text: str) -> float:
@@ -102,11 +123,8 @@ def perplexity(text: str) -> float:
     t = "^" + text.lower() + "$"
     if len(t) < 3:
         return 1e9
-    ll = 0.0
-    n = len(t) - 1
-    for i in range(n):
-        ll += _LM.get(t[i : i + 2], _FLOOR)
-    return math.exp(-ll / n)
+    ids = _bigram_ids(t)
+    return float(math.exp(-_LM_TBL[ids].sum() / len(ids)))
 
 
 # --- word-entropy (SQL-portable repetition metric) --------------------------

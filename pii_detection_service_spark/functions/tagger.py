@@ -98,9 +98,12 @@ def word_tokenize(text: str) -> list[Token]:
     return out
 
 
-def find_pii_spans(text: str) -> list[tuple[int, int, str]]:
+def find_pii_spans(
+    text: str, toks: list[Token] | None = None
+) -> list[tuple[int, int, str]]:
     """All PII character spans as (start, end, class), non-overlapping,
-    precedence EMAIL > URL > ID > PHONE > ADDRESS > USERNAME > NAME."""
+    precedence EMAIL > URL > ID > PHONE > ADDRESS > USERNAME > NAME.
+    ``toks`` may be passed to reuse an existing word_tokenize result."""
     spans: list[tuple[int, int, str]] = []
 
     def free(s: int, e: int) -> bool:
@@ -114,7 +117,8 @@ def find_pii_spans(text: str) -> list[tuple[int, int, str]]:
     # Gazetteer names: a known given name (capitalized) optionally followed
     # by further capitalized words (surnames) extends the span. An honorific
     # immediately before is NOT part of the span (fixture: "Dr." is O).
-    toks = word_tokenize(text)
+    if toks is None:
+        toks = word_tokenize(text)
     i = 0
     while i < len(toks):
         t = toks[i]
@@ -144,16 +148,7 @@ def find_pii_spans(text: str) -> list[tuple[int, int, str]]:
     return spans
 
 
-def tag(text: str) -> tuple[list[str], list[str]]:
-    """Word tokens + aligned BIO labels for ``text``.
-
-    First token overlapping a span gets ``B-<class>``, subsequent ones
-    ``I-<class>`` (classes without an I- form in the 13-label vocabulary —
-    EMAIL, USERNAME — repeat ``B-``, though spans for those are single-token
-    by construction).
-    """
-    toks = word_tokenize(text)
-    spans = find_pii_spans(text)
+def _label_tokens(toks: list[Token], spans) -> list[str]:
     labels = ["O"] * len(toks)
     si = 0
     prev_span = -1
@@ -168,7 +163,46 @@ def tag(text: str) -> tuple[list[str], list[str]]:
                 else:
                     labels[ti] = "I-" + cls
                 prev_span = si
-    return [t.text for t in toks], labels
+    return labels
+
+
+def _splice(text: str, spans) -> str:
+    if not spans:
+        return text
+    parts: list[str] = []
+    pos = 0
+    for s, e, cls in spans:
+        parts.append(text[pos:s])
+        parts.append("[" + cls + "]")
+        pos = e
+    parts.append(text[pos:])
+    return "".join(parts)
+
+
+def tag(text: str) -> tuple[list[str], list[str]]:
+    """Word tokens + aligned BIO labels for ``text``.
+
+    First token overlapping a span gets ``B-<class>``, subsequent ones
+    ``I-<class>`` (classes without an I- form in the 13-label vocabulary —
+    EMAIL, USERNAME — repeat ``B-``, though spans for those are single-token
+    by construction).
+    """
+    toks = word_tokenize(text)
+    spans = find_pii_spans(text, toks)
+    return [t.text for t in toks], _label_tokens(toks, spans)
+
+
+def tag_and_scrub(text: str) -> tuple[list[str], list[str], str, int]:
+    """Fused tag + scrub: tokenization and span search run ONCE (the Arrow
+    UDF hot path). Outputs identical to calling tag() and scrub() separately."""
+    toks = word_tokenize(text)
+    spans = find_pii_spans(text, toks)
+    return (
+        [t.text for t in toks],
+        _label_tokens(toks, spans),
+        _splice(text, spans),
+        len(spans),
+    )
 
 
 def scrub(text: str) -> tuple[str, int]:
@@ -178,13 +212,4 @@ def scrub(text: str) -> tuple[str, int]:
     byte-identical (caption-preservation invariant for kept rows).
     """
     spans = find_pii_spans(text)
-    if not spans:
-        return text, 0
-    parts: list[str] = []
-    pos = 0
-    for s, e, cls in spans:
-        parts.append(text[pos:s])
-        parts.append("[" + cls + "]")
-        pos = e
-    parts.append(text[pos:])
-    return "".join(parts), len(spans)
+    return _splice(text, spans), len(spans)

@@ -43,18 +43,17 @@ def score_batch(captions: pd.Series) -> pd.DataFrame:
         quality.keep_decision(c, l, p)
         for c, l, p in zip(caps, langs, ppls)
     ]
-    tagged = caps.map(tagger.tag)
-    scrubbed = caps.map(tagger.scrub)
+    tagged = caps.map(tagger.tag_and_scrub)  # one tokenize+span pass per row
     return pd.DataFrame(
         {
             "lang": langs,
             "ppl": ppls,
             "keep": [k for k, _ in kd],
             "drop_reason": [r for _, r in kd],
-            "tokens": [t for t, _ in tagged],
-            "labels": [l for _, l in tagged],
-            "n_pii": pd.Series([n for _, n in scrubbed], dtype="int32"),
-            "scrubbed_caption": [s for s, _ in scrubbed],
+            "tokens": [t for t, _, _, _ in tagged],
+            "labels": [l for _, l, _, _ in tagged],
+            "n_pii": pd.Series([n for _, _, _, n in tagged], dtype="int32"),
+            "scrubbed_caption": [s for _, _, s, _ in tagged],
         },
         index=caps.index,
     )
