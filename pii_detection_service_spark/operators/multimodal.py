@@ -1,0 +1,141 @@
+"""Multimodal column operators: binary media + typed metadata.
+
+Images/audio/video are opaque ``binary`` columns with typed metadata
+(input_hint: bytes/w/h/fmt). All ops are Arrow-batched ``mapInPandas`` —
+the Spark-side plumbing (schema, batch shape, partition behavior) is real
+and tested; the codec seam is ``sources/imagecodec.py`` (pure-Python PNG is
+a real codec; JPEG is a deterministic stand-in; audio/video decoders raise
+NotImplementedError until a real library is plugged in).
+
+Memory note (matters at 100 TB): binary columns ride inside Arrow record
+batches — cap `spark.sql.execution.arrow.maxRecordsPerBatch` and the parquet
+`columnarReaderBatchSize` so a batch of images fits executor memory
+(empirically: 4 MB-ish images × 4096-row default batches OOM a 1 GB heap).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..sources import imagecodec
+
+DECODE_STATS_DDL = "image_id string, dec_w int, dec_h int, mean_px double, decode_ok boolean"
+FEATURES_DDL = "image_id string, features array<float>"
+RESIZE_DDL = "image_id string, bytes binary, w int, h int, fmt string"
+FRAMES_DDL = "image_id string, frame_idx int, frame_bytes binary"
+
+
+def decode_stats(df: DataFrame) -> DataFrame:
+    """Decode + per-image stats (the pixel-invariant verification path)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    px = imagecodec.decode(bytes(data), fmt)
+                    rows.append((iid, px.shape[1], px.shape[0], float(px.mean()), True))
+                except Exception:
+                    rows.append((iid, 0, 0, 0.0, False))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "dec_w", "dec_h", "mean_px", "decode_ok"]
+            )
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(fn, DECODE_STATS_DDL)
+
+
+def extract_features(df: DataFrame, grid: int = 4) -> DataFrame:
+    """Feature-extract: grid-mean RGB vector (grid²·3 floats) per image —
+    the deterministic stand-in for an embedding model; identical plumbing
+    (binary in, array<float> out, Arrow-batched)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for iid, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = imagecodec.decode(bytes(data), fmt).astype(np.float32)
+                h, w, _ = px.shape
+                ys = (np.arange(grid + 1) * h) // grid
+                xs = (np.arange(grid + 1) * w) // grid
+                v = [
+                    float(px[ys[i]: ys[i + 1], xs[j]: xs[j + 1], c].mean())
+                    for i in range(grid)
+                    for j in range(grid)
+                    for c in range(3)
+                ]
+                ids.append(iid)
+                feats.append(v)
+            yield pd.DataFrame({"image_id": ids, "features": feats})
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(fn, FEATURES_DDL)
+
+
+def resize(df: DataFrame, out_size: int) -> DataFrame:
+    """Resize (nearest-neighbor, deterministic) and re-encode as PNG."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = imagecodec.decode(bytes(data), fmt)
+                h, w, _ = px.shape
+                yi = (np.arange(out_size) * h) // out_size
+                xi = (np.arange(out_size) * w) // out_size
+                small = px[yi][:, xi]
+                rows.append(
+                    (iid, imagecodec.encode_png(small), out_size, out_size, "png")
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(fn, RESIZE_DDL)
+
+
+# --- video-style container: length-prefixed concatenated frames -------------
+
+def pack_frames(frames: list[bytes]) -> bytes:
+    """Build a deterministic multi-frame container (stand-in for a video
+    file; a real pipeline would carry mp4 bytes here)."""
+    import struct
+
+    out = [b"FVID", struct.pack(">I", len(frames))]
+    for f in frames:
+        out.append(struct.pack(">I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
+    """Frame-sample: explode every ``every``-th frame from the container
+    into its own row (binary). This is the mapInPandas row-expanding shape
+    a real video pipeline uses; only the container parser is a stand-in."""
+    import struct
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                data = bytes(data)
+                if data[:4] != b"FVID":
+                    raise NotImplementedError(
+                        "real video containers need a decoder (ffmpeg) — "
+                        "not available in this environment"
+                    )
+                (n,) = struct.unpack(">I", data[4:8])
+                pos = 8
+                for idx in range(n):
+                    (ln,) = struct.unpack(">I", data[pos : pos + 4])
+                    frame = data[pos + 4 : pos + 4 + ln]
+                    pos += 4 + ln
+                    if idx % every == 0:
+                        rows.append((iid, idx, frame))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "frame_idx", "frame_bytes"]
+            )
+
+    return df.select("image_id", "bytes").mapInPandas(fn, FRAMES_DDL)
