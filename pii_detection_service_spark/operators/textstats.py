@@ -116,6 +116,74 @@ def fingerprint(spark, sf_dir) -> DataFrame:
     return d.select("doc_id", fp.alias("fp"))
 
 
+# Synthetic ▁-subword array derived from words: long words split into a
+# ▁-marked head piece + continuation piece, wrapped in sentinels — the
+# DeBERTa token shape (predictor.py:59-63) built natively so A6/A7 have an
+# exact SQL oracle.
+_SUBWORDS = (
+    "concat(array('[CLS]'), flatten(transform(split(text, ' '), w -> "
+    "case when length(w) > 3 then array(concat('▁', substring(w, 1, 2)), substring(w, 3)) "
+    "else array(concat('▁', w)) end)), array('[SEP]'))"
+)
+
+
+def reconstruct_text(spark, sf_dir) -> DataFrame:
+    """A6 — detokenize ▁-marked subwords (preprocessor.py:32-51) as a native
+    fold: sentinels skipped, ▁ token → space + stripped, continuation →
+    direct append. Self-validating: reconstructed == text."""
+    d = table(spark, sf_dir, "documents")
+    rec = F.expr(
+        f"aggregate({_SUBWORDS}, '', (acc, x) -> "
+        "case when x in ('[CLS]', '[SEP]') then acc "
+        "when x like '▁%' then case when acc = '' then substring(x, 2) "
+        "else concat(acc, ' ', substring(x, 2)) end "
+        "else concat(acc, x) end)"
+    )
+    return d.select(
+        "doc_id", rec.alias("reconstructed"), (rec == F.col("text")).alias("roundtrip_ok")
+    )
+
+
+def clean_tokens(spark, sf_dir) -> DataFrame:
+    """A7 — sentinel strip + leading-▁ strip (preprocessor.py:53-59) as
+    native slice + transform; output re-joined for comparison."""
+    d = table(spark, sf_dir, "documents")
+    cleaned = F.expr(
+        f"transform(slice({_SUBWORDS}, 2, size({_SUBWORDS}) - 2), x -> "
+        "case when x like '▁%' and length(x) > 1 then substring(x, 2) else x end)"
+    )
+    return d.select("doc_id", F.concat_ws(" ", cleaned).alias("cleaned_tokens"))
+
+
+_PSEUDO_LABELS = (
+    "transform(split(text, ' '), w -> "
+    "case when w like '%@%' then 'B-EMAIL' "
+    "when w rlike '^[0-9]+$' then 'B-ID_NUM' "
+    "when w rlike '^[A-Z]' then 'B-NAME_STUDENT' "
+    "else 'O' end)"
+)
+
+
+def fbeta_arrays(spark, sf_dir) -> DataFrame:
+    """G1 over real aligned label ARRAYS: true = pseudo-BIO labels, pred =
+    the same sequence shifted left one token (deterministic divergence) —
+    exploded to token level, micro-F5 aggregated per lang, drift per G2.
+    This is the exact shape of the reference's evaluate-performance path
+    (ml_service_app.py:106-128) run as one distributed aggregate."""
+    d = table(spark, sf_dir, "documents")
+    pairs = F.expr(
+        f"transform({_PSEUDO_LABELS}, (l, i) -> struct(l as t, "
+        f"coalesce(try_element_at({_PSEUDO_LABELS}, i + 2), 'O') as p))"
+    )
+    ex = d.select("doc_id", "lang", F.explode(pairs).alias("pair"))
+    tp = F.sum(F.when(F.col("pair.t") == F.col("pair.p"), 1).otherwise(0))
+    mism = F.sum(F.when(F.col("pair.t") != F.col("pair.p"), 1).otherwise(0))
+    f5 = F.round((26.0 * tp) / (26.0 * tp + 25.0 * mism + mism), 6)
+    return ex.groupBy("lang").agg(
+        tp.alias("tp"), mism.alias("mism"), f5.alias("f5"), (f5 < 0.8).alias("drifting")
+    )
+
+
 def label_strip(spark, sf_dir) -> DataFrame:
     """A8 — BIO prefix strip as a native higher-order transform
     (validation_preprocessor.py:7-13). Pseudo-BIO labels derive per word

@@ -16,7 +16,21 @@ and Spark 4.1):
 
 from __future__ import annotations
 
-from .operators import dedup, pipeline, relational, similarity, textstats
+from .operators import dedup, multimodal, pipeline, relational, similarity, textstats
+
+
+def _multimodal_decode_stats(spark, sf_dir):
+    """Decode/PSNR plumbing over the deterministic synthetic image table
+    (testdata has no binary media; input is seeded, n fixed)."""
+    from .sources.synth import synth_spark
+
+    return multimodal.decode_stats(synth_spark(spark, 500))
+
+
+def _multimodal_features(spark, sf_dir):
+    from .sources.synth import synth_spark
+
+    return multimodal.extract_features(synth_spark(spark, 500))
 
 # ---------------------------------------------------------------------------
 # Oracle SQL fragments shared across queries (mirror operators/*.py).
@@ -279,9 +293,59 @@ ORACLES: dict[str, str | None] = {
         + " > 0 THEN (1::BIGINT << (aid - 1)::INTEGER) ELSE 0::BIGINT END)::BIGINT AS bucket "
         "FROM e, anch GROUP BY e.vec_id) t GROUP BY bucket"
     ),
+    # --- A6/A7 sequence ops over native synthetic subword arrays ---
+    "a6_reconstruct": (
+        "WITH s AS (SELECT doc_id, text, "
+        "list_concat(list_concat(['[CLS]'], flatten(list_transform(string_split(text, ' '), w -> "
+        "CASE WHEN length(w) > 3 THEN ['▁' || substr(w, 1, 2), substr(w, 3)] "
+        "ELSE ['▁' || w] END))), ['[SEP]']) AS toks FROM documents) "
+        "SELECT doc_id, rec AS reconstructed, rec = text AS roundtrip_ok FROM ("
+        "SELECT doc_id, text, list_reduce(list_prepend('', toks), (acc, x) -> "
+        "CASE WHEN x IN ('[CLS]', '[SEP]') THEN acc "
+        "WHEN x LIKE '▁%' THEN CASE WHEN acc = '' THEN substr(x, 2) "
+        "ELSE acc || ' ' || substr(x, 2) END "
+        "ELSE acc || x END) AS rec FROM s) t"
+    ),
+    "a7_clean_tokens": (
+        "WITH s AS (SELECT doc_id, "
+        "list_concat(list_concat(['[CLS]'], flatten(list_transform(string_split(text, ' '), w -> "
+        "CASE WHEN length(w) > 3 THEN ['▁' || substr(w, 1, 2), substr(w, 3)] "
+        "ELSE ['▁' || w] END))), ['[SEP]']) AS toks FROM documents) "
+        "SELECT doc_id, array_to_string(list_transform("
+        "list_slice(toks, 2, len(toks) - 1), x -> "
+        "CASE WHEN x LIKE '▁%' AND length(x) > 1 THEN substr(x, 2) ELSE x END), ' ') "
+        "AS cleaned_tokens FROM s"
+    ),
+    "g1_fbeta_arrays": """
+        WITH lab AS (
+          SELECT doc_id, lang,
+                 list_transform(string_split(text, ' '), w ->
+                    CASE WHEN w LIKE '%@%' THEN 'B-EMAIL'
+                         WHEN regexp_matches(w, '^[0-9]+$') THEN 'B-ID_NUM'
+                         WHEN regexp_matches(w, '^[A-Z]') THEN 'B-NAME_STUDENT'
+                         ELSE 'O' END) AS labels
+          FROM documents
+        ), ex AS (
+          SELECT lang, unnest(list_transform(labels, (l, i) ->
+                 {'t': l, 'p': coalesce(labels[i + 1], 'O')})) AS pair
+          FROM lab
+        ), agg AS (
+          SELECT lang,
+                 sum(CASE WHEN pair.t = pair.p THEN 1 ELSE 0 END) AS tp,
+                 sum(CASE WHEN pair.t <> pair.p THEN 1 ELSE 0 END) AS mism
+          FROM ex GROUP BY lang
+        )
+        SELECT lang, tp::BIGINT AS tp, mism::BIGINT AS mism,
+               round((26.0 * tp) / (26.0 * tp + 25.0 * mism + mism), 6) AS f5,
+               round((26.0 * tp) / (26.0 * tp + 25.0 * mism + mism), 6) < 0.8 AS drifting
+        FROM agg
+    """,
     # --- UDF-backed pipeline queries: rows-only driver check ---
     "pipeline_score_documents": None,
     "pipeline_predict_documents": None,
+    # --- multimodal (binary image columns): no SQL decoder → rows-only ---
+    "multimodal_decode_stats": None,
+    "multimodal_features": None,
 }
 
 SPARK_BUILDERS = {
@@ -309,8 +373,13 @@ SPARK_BUILDERS = {
     "dedup_embedding_cosine": dedup.embedding_near_dup,
     "sim_topk_cosine": similarity.topk_cosine,
     "ann_lsh_buckets": similarity.lsh_buckets,
+    "a6_reconstruct": textstats.reconstruct_text,
+    "a7_clean_tokens": textstats.clean_tokens,
+    "g1_fbeta_arrays": textstats.fbeta_arrays,
     "pipeline_score_documents": pipeline.score_documents,
     "pipeline_predict_documents": pipeline.predict_documents,
+    "multimodal_decode_stats": _multimodal_decode_stats,
+    "multimodal_features": _multimodal_features,
 }
 
 assert set(ORACLES) == set(SPARK_BUILDERS)
