@@ -105,6 +105,21 @@ def token_count(spark, sf_dir) -> DataFrame:
     )
 
 
+def tokenize_a2(spark, sf_dir) -> DataFrame:
+    """A2 — the reference's regex findall tokenizer (preprocessor.py:26-30)
+    run NATIVELY via regexp_extract_all (JVM, no Python): paragraph breaks,
+    literal \\uXXXX escapes, single punctuation, word runs."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.col("text"), F.lit(r"\n\n+|\\u[0-9a-fA-F]{4}|[^\w\s]|[\w]+"), F.lit(0)
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.concat_ws("\x01", toks).alias("tokens_joined"),
+    )
+
+
 def fingerprint(spark, sf_dir) -> DataFrame:
     """Document fingerprint: polynomial rolling hash over codepoints,
     mod 1e9+7 — native aggregate (JVM), portable to the SQL oracle."""

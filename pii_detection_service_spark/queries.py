@@ -229,6 +229,13 @@ ORACLES: dict[str, str | None] = {
                    AS n_bpe_tokens
         FROM documents
     """,
+    "a2_tokenize": (
+        "SELECT doc_id, "
+        "len(regexp_extract_all(text, '\\n\\n+|\\\\u[0-9a-fA-F]{4}|[^\\w\\s]|[\\w]+'))::INTEGER AS n_tokens, "
+        "array_to_string(regexp_extract_all(text, "
+        "'\\n\\n+|\\\\u[0-9a-fA-F]{4}|[^\\w\\s]|[\\w]+'), chr(1)) AS tokens_joined "
+        "FROM documents"
+    ),
     "fingerprint": (
         "SELECT doc_id, list_reduce(list_prepend(0::BIGINT, "
         "list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)), "
@@ -363,6 +370,7 @@ SPARK_BUILDERS = {
     "langid_stopword": textstats.langid_stopword,
     "quality_score": textstats.quality_score,
     "token_count": textstats.token_count,
+    "a2_tokenize": textstats.tokenize_a2,
     "fingerprint": textstats.fingerprint,
     "label_strip": textstats.label_strip,
     "dedup_exact": dedup.exact_dedup,
