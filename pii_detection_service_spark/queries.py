@@ -300,6 +300,23 @@ ORACLES: dict[str, str | None] = {
         + " > 0 THEN (1::BIGINT << (aid - 1)::INTEGER) ELSE 0::BIGINT END)::BIGINT AS bucket "
         "FROM e, anch GROUP BY e.vec_id) t GROUP BY bucket"
     ),
+    "ann_search_pruned": (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "anch AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id BETWEEN 1 AND 8), "
+        "bk AS (SELECT e.vec_id, sum(CASE WHEN " + _DOT_D.format(u="e.v", v="av")
+        + " > 0 THEN (1::BIGINT << (aid - 1)::INTEGER) ELSE 0::BIGINT END)::BIGINT AS bucket "
+        "FROM e, anch GROUP BY e.vec_id), "
+        "be AS (SELECT bk.vec_id, bk.bucket, e.v FROM bk JOIN e ON bk.vec_id = e.vec_id), "
+        "q AS (SELECT bucket AS qbucket, v AS qv FROM be WHERE vec_id = 0) "
+        "SELECT be.vec_id, be.bucket, round(" + _DOT_D.format(u="be.v", v="qv")
+        + " / (" + _NORM_D.format(u="be.v") + " * " + _NORM_D.format(u="qv") + "), 4) AS cos "
+        "FROM be, q WHERE be.bucket = q.qbucket AND be.vec_id <> 0 "
+        "ORDER BY cos DESC, vec_id LIMIT 10"
+    ),
+    # numpy-matmul variant: pairwise float summation differs from the SQL
+    # fold in the last ulp → rows-only here; equivalence to the native
+    # operator is asserted in tests/test_similarity.py instead.
+    "sim_topk_cosine_fast": None,
     # --- A6/A7 sequence ops over native synthetic subword arrays ---
     "a6_reconstruct": (
         "WITH s AS (SELECT doc_id, text, "
@@ -380,7 +397,9 @@ SPARK_BUILDERS = {
     "dedup_jaccard_pairs": dedup.jaccard_pairs,
     "dedup_embedding_cosine": dedup.embedding_near_dup,
     "sim_topk_cosine": similarity.topk_cosine,
+    "sim_topk_cosine_fast": similarity.topk_cosine_fast,
     "ann_lsh_buckets": similarity.lsh_buckets,
+    "ann_search_pruned": similarity.ann_search,
     "a6_reconstruct": textstats.reconstruct_text,
     "a7_clean_tokens": textstats.clean_tokens,
     "g1_fbeta_arrays": textstats.fbeta_arrays,

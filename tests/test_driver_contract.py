@@ -23,6 +23,7 @@ def test_queries_and_oracles_consistent():
         "pipeline_predict_documents",
         "multimodal_decode_stats",
         "multimodal_features",
+        "sim_topk_cosine_fast",
     }
 
 
