@@ -92,6 +92,19 @@ def main():
     rows["image_stage"] = n
     images_per_sec = round(n / t_images, 1)
 
+    # full stage incl. the (bucket, salt) shuffle, partitioned write, and
+    # lineage/metrics commit — the north rule's end-to-end workload.
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="bench_stage_")
+    t0 = time.monotonic()
+    m = stage.run_stage(spark, src, out_dir, n_buckets=64, salt_factor=8)
+    t_write = time.monotonic() - t0
+    times["image_stage_write"] = round(t_write, 3)
+    rows["image_stage_write"] = m["rows"]
+    shutil.rmtree(out_dir, ignore_errors=True)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis) over the pure-Python reference
+semantics — the invariants that must hold for ANY input, beyond the golden
+fixtures."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pii_detection_service_spark.functions import quality, tagger, textref
+
+subword = st.one_of(
+    st.text(alphabet=string.ascii_letters, min_size=1, max_size=6).map(lambda s: "▁" + s),
+    st.text(alphabet=string.ascii_letters + ".,", min_size=1, max_size=6),
+)
+label = st.sampled_from(textref.LABELS)
+
+
+@st.composite
+def token_label_seq(draw):
+    n = draw(st.integers(min_value=0, max_value=30))
+    return (
+        [draw(subword) for _ in range(n)],
+        [draw(label) for _ in range(n)],
+    )
+
+
+@given(token_label_seq())
+@settings(max_examples=200, deadline=None)
+def test_merge_preserves_concatenation(tl):
+    tokens, labels = tl
+    for merge in (textref.merge_subwords_predictor, textref.merge_subwords_backend):
+        mt, ml = merge(tokens, labels)
+        assert len(mt) == len(ml)
+        assert "".join(mt) == "".join(tokens)  # merge never loses characters
+
+
+@given(token_label_seq())
+@settings(max_examples=200, deadline=None)
+def test_propagate_bio_shape_and_vocab(tl):
+    tokens, labels = tl
+    out = textref.clean_up_predictions(tokens, labels)
+    assert len(out) == len(labels)
+    # propagation only rewrites to I-<class>; B-/O positions never invented
+    for old, new in zip(labels, out):
+        assert new == old or new.startswith("I-")
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_tag_alignment_and_vocab(text):
+    toks, labels = tagger.tag(text)
+    assert len(toks) == len(labels)
+    assert set(labels) <= set(textref.LABELS)
+    # tokens reconstruct the non-whitespace content
+    assert "".join(toks) == "".join(text.split())
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_scrub_idempotent_on_clean_text(text):
+    scrubbed, n = tagger.scrub(text)
+    if n == 0:
+        assert scrubbed == text  # byte equality invariant
+    toks, labels, scrubbed2, n2 = tagger.tag_and_scrub(text)
+    assert (scrubbed2, n2) == (scrubbed, n)  # fused == separate
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_quality_functions_total(text):
+    # never raise, always in range
+    lang = quality.langid_char_ngram(text)
+    assert lang in {"en", "es", "de", "fr", "und"}
+    ppl = quality.perplexity(text)
+    assert ppl > 0
+    keep, reason = quality.keep_decision(text, lang, ppl)
+    assert isinstance(keep, bool)
+    assert (reason == "") == keep
+
+
+@given(st.lists(label, min_size=1, max_size=50), st.lists(label, min_size=1, max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_fbeta_bounds(a, b):
+    n = min(len(a), len(b))
+    f5 = textref.fbeta_micro(a[:n], b[:n])
+    assert 0.0 <= f5 <= 1.0
+    if a[:n] == b[:n]:
+        assert f5 == 1.0
