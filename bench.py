@@ -97,9 +97,12 @@ def main():
     import shutil
     import tempfile
 
+    # bucket/salt sized to the data: 32×2 = 64 reducers ≈ file count that
+    # matches this volume (512 reducers → tiny files + commit overhead; at
+    # 100 TB you raise n_buckets, not the salt).
     out_dir = tempfile.mkdtemp(prefix="bench_stage_")
     t0 = time.monotonic()
-    m = stage.run_stage(spark, src, out_dir, n_buckets=64, salt_factor=8)
+    m = stage.run_stage(spark, src, out_dir, n_buckets=32, salt_factor=2)
     t_write = time.monotonic() - t0
     times["image_stage_write"] = round(t_write, 3)
     rows["image_stage_write"] = m["rows"]
