@@ -79,6 +79,33 @@ def minhash_band_candidates(spark, sf_dir) -> DataFrame:
     )
 
 
+def minhash_survivors(spark, sf_dir) -> DataFrame:
+    """End-to-end MinHash dedup: a doc survives unless some band bucket
+    contains a smaller doc_id (min-id survivor rule — the single-round
+    connected-components approximation used by LSH dedup pipelines).
+    Window min over (band, band_key), then per-doc reduction."""
+    from pyspark.sql import Window
+
+    sig = minhash_signatures(spark, sf_dir)
+    bands = None
+    for band in range(4):
+        b = sig.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.concat_ws(
+                "_", F.col(f"mh{2 * band}"), F.col(f"mh{2 * band + 1}")
+            ).alias("band_key"),
+        )
+        bands = b if bands is None else bands.unionAll(b)
+    w = Window.partitionBy("band", "band_key")
+    per_band = bands.withColumn("grp_min", F.min("doc_id").over(w))
+    return (
+        per_band.groupBy("doc_id")
+        .agg(F.min("grp_min").alias("dup_of"))
+        .withColumn("survivor", F.col("dup_of") == F.col("doc_id"))
+    )
+
+
 def simhash(spark, sf_dir) -> DataFrame:
     """16-bit SimHash over word hashes: bit b set iff the sum of ±1 votes
     from each word's bit b is positive. Near-dups share the sketch."""

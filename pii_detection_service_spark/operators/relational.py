@@ -168,6 +168,22 @@ def events_hourly(spark, sf_dir) -> DataFrame:
     )
 
 
+def window_topn_per_group(spark, sf_dir) -> DataFrame:
+    """Top-3 docs by n_chars per language via row_number — the window-rank
+    dedup/top-N shape (SURVEY §2.6: the one window op the target needs)."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("lang", "rn", "doc_id", "n_chars")
+    )
+
+
 def validated_coalesce(spark, sf_dir) -> DataFrame:
     """The reference's `validated_labels ?? labels` choice
     (backend_service_app.py:265-269) as native coalesce over documents

@@ -266,6 +266,21 @@ ORACLES: dict[str, str | None] = {
         "SELECT band, band_key, count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc "
         "FROM bands GROUP BY band, band_key HAVING count(*) > 1"
     ),
+    "dedup_minhash_survivors": (
+        "WITH sig AS (" + _MINHASH_SQL + "), bands AS (" + _BANDS_UNION + "), "
+        "pb AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, band_key) AS grp_min "
+        "FROM bands) "
+        "SELECT doc_id, min(grp_min) AS dup_of, min(grp_min) = doc_id AS survivor "
+        "FROM pb GROUP BY doc_id"
+    ),
+    "window_topn_per_lang": """
+        SELECT lang, rn::INTEGER AS rn, doc_id, n_chars FROM (
+          SELECT lang, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents) t
+        WHERE rn <= 3
+    """,
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_jaccard_pairs": (
         "WITH sh AS (" + _SHINGLES_CTE + ") "
@@ -393,6 +408,8 @@ SPARK_BUILDERS = {
     "dedup_exact": dedup.exact_dedup,
     "dedup_minhash_signatures": dedup.minhash_signatures,
     "dedup_minhash_bands": dedup.minhash_band_candidates,
+    "dedup_minhash_survivors": dedup.minhash_survivors,
+    "window_topn_per_lang": relational.window_topn_per_group,
     "dedup_simhash": dedup.simhash,
     "dedup_jaccard_pairs": dedup.jaccard_pairs,
     "dedup_embedding_cosine": dedup.embedding_near_dup,
