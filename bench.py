@@ -108,6 +108,16 @@ def main():
     rows["image_stage_write"] = m["rows"]
     shutil.rmtree(out_dir, ignore_errors=True)
 
+    # scaling efficiency from the dedicated harness (BENCH/scaling.py) if a
+    # measurement exists — local[N] vs local[4N] on identical input.
+    scaling = None
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json"
+    )
+    if os.path.isfile(scaling_path):
+        with open(scaling_path) as f:
+            scaling = json.load(f).get("scaling_efficiency")
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -118,6 +128,7 @@ def main():
                 "queries": times,
                 "rows": rows,
                 "images_per_sec": images_per_sec,
+                "scaling_efficiency_n_to_4n": scaling,
                 "cpus": int(cpus),
                 "sf": float(sf),
             }
