@@ -82,12 +82,20 @@ def caption_for(i: int) -> str:
 
 
 def pixels_for(i: int, size: int = 24) -> np.ndarray:
-    """Deterministic pixel content. Rows with i % 37 == 0 share one image
-    (exact-duplicate cluster for dedup operators)."""
-    key = 0 if i % 37 == 0 else i
+    """Deterministic pixel content. Rows with i % 11 == 0 (~9%) share one
+    image — an exact-duplicate cluster that (a) feeds the dedup operators
+    and (b) concentrates one phash bucket, so the stage's salted
+    repartition is exercised by genuinely skewed data."""
+    key = 0 if i % 11 == 0 else i
     rng = np.random.default_rng(SEED * 7_000_003 + key)
     yy, xx = np.mgrid[0:size, 0:size]
-    base = (yy * 255 // size + key % 97)[..., None] * np.array([1, 2, 3]) // 3
+    # per-image gradient direction/frequency so average-hash bits vary
+    # across images (a pure vertical gradient makes every phash collide)
+    a = int(rng.integers(1, 8))
+    b = int(rng.integers(0, 8))
+    base = ((yy * a + xx * b) * 255 // size + int(rng.integers(0, 97)))[
+        ..., None
+    ] * np.array([1, 2, 3]) // 3
     noise = rng.integers(0, 64, (size, size, 3))
     return ((base + noise) % 256).astype(np.uint8)
 

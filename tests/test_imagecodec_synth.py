@@ -37,9 +37,10 @@ def test_synth_deterministic_rows():
     df = synth_df = synth.synth_pandas(50)
     assert list(df.columns) == synth.INPUT_COLUMNS
     assert df["image_id"].is_unique
-    # duplicate-image cluster shares phash
+    # duplicate-image cluster shares phash (skew cluster: i % 11 == 0)
     ph = synth_df.set_index("image_id")["phash"]
-    assert ph["img_00000000"] == ph["img_00000037"]
+    assert ph["img_00000000"] == ph["img_00000011"] == ph["img_00000044"]
+    assert ph["img_00000001"] != ph["img_00000000"]
 
 
 def test_synth_decode_matches_source_pixels():
