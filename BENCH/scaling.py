@@ -24,7 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_CORES, N4_CORES = 2, 8
-TRIALS = 3
+TRIALS = 5
 
 
 def make_spark(cores: int):
