@@ -88,14 +88,18 @@ def run_stage(
     t0 = time.monotonic()
     df = with_bucket(src, n_buckets)
 
-    done = (
-        completed_buckets(spark, lineage_dir)
+    # lineage is tiny (≤ n_buckets rows) → collect the done set and prune
+    # with a plain NOT IN filter: no join at all, evaluated during the scan.
+    # When the SOURCE table is itself partitioned by the bucket column
+    # (Iceberg `PARTITIONED BY bucket`), this same predicate prunes at the
+    # file level and a resumed run reads only pending buckets' data.
+    done_ids: list[int] = (
+        [r["bucket"] for r in completed_buckets(spark, lineage_dir).collect()]
         if resume
-        else spark.createDataFrame([], "bucket int")
+        else []
     )
-    # lineage is tiny (≤ n_buckets rows) → broadcast anti-join: prunes
-    # completed work with zero shuffle of the big side.
-    df = df.join(F.broadcast(done), "bucket", "left_anti")
+    if done_ids:
+        df = df.where(~F.col("bucket").isin(done_ids))
 
     scored = score(df)
 
@@ -111,12 +115,12 @@ def run_stage(
     out.write.mode("overwrite").partitionBy("bucket").parquet(data_dir)
 
     # Per-bucket lineage from the written output (cheap: column-pruned scan
-    # of keep/n_pii only, partition column comes from directory layout).
-    # Scope to buckets processed THIS run so resumed runs never duplicate
-    # lineage for already-done buckets.
-    written = spark.read.parquet(data_dir).join(
-        F.broadcast(done), "bucket", "left_anti"
-    )
+    # of keep/n_pii only, partition column comes from directory layout —
+    # here the bucket filter DOES prune at file level). Scope to buckets
+    # processed THIS run so resumed runs never duplicate lineage.
+    written = spark.read.parquet(data_dir)
+    if done_ids:
+        written = written.where(~F.col("bucket").isin(done_ids))
     runtime = time.monotonic() - t0
     lineage_rows = (
         written.groupBy("bucket")
