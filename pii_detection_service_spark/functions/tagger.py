@@ -53,6 +53,17 @@ FIRST_NAMES = frozenset(
 )
 HONORIFICS = frozenset({"dr.", "mr.", "mrs.", "ms.", "prof.", "dr", "mr", "mrs", "ms", "prof"})
 
+# Toxicity gazetteer (north rule: "regex + gazetteer PII/toxicity
+# scrubbing"). Deliberately mild, fixed, versioned stand-ins — a production
+# pipeline swaps in a real blocklist; semantics (word-boundary match,
+# [TOXIC] mask, kept rows otherwise byte-identical) are what's tested.
+TOXIC_WORDS = frozenset(
+    "damn hell crap idiot stupid moron jerk loser freakin frickin".split()
+)
+TOXIC_RE = re.compile(
+    r"\b(?:%s)\b" % "|".join(sorted(TOXIC_WORDS)), re.IGNORECASE
+)
+
 # Tag precedence: earlier wins on overlap.
 _SPAN_RES: list[tuple[str, re.Pattern[str]]] = [
     ("EMAIL", EMAIL_RE),
@@ -192,16 +203,32 @@ def tag(text: str) -> tuple[list[str], list[str]]:
     return [t.text for t in toks], _label_tokens(toks, spans)
 
 
-def tag_and_scrub(text: str) -> tuple[list[str], list[str], str, int]:
+def find_toxic_spans(text: str, pii_spans) -> list[tuple[int, int, str]]:
+    """Toxicity gazetteer spans (class TOXIC), skipping anything already
+    claimed by a PII span. Not part of the 13-label BIO vocabulary — toxic
+    words stay labeled O; scrubbing masks them with [TOXIC]."""
+    out = []
+    for m in TOXIC_RE.finditer(text):
+        if all(m.end() <= s or e <= m.start() for s, e, _ in pii_spans):
+            out.append((m.start(), m.end(), "TOXIC"))
+    return out
+
+
+def tag_and_scrub(text: str) -> tuple[list[str], list[str], str, int, int]:
     """Fused tag + scrub: tokenization and span search run ONCE (the Arrow
-    UDF hot path). Outputs identical to calling tag() and scrub() separately."""
+    UDF hot path). Returns (tokens, labels, scrubbed, n_pii, n_toxic);
+    tokens/labels/PII-scrub identical to calling tag() and scrub(), with
+    toxicity masking applied on top of the PII splice."""
     toks = word_tokenize(text)
     spans = find_pii_spans(text, toks)
+    toxic = find_toxic_spans(text, spans)
+    all_spans = sorted(spans + toxic)
     return (
         [t.text for t in toks],
         _label_tokens(toks, spans),
-        _splice(text, spans),
+        _splice(text, all_spans),
         len(spans),
+        len(toxic),
     )
 
 

@@ -35,6 +35,7 @@ def score_documents(spark, sf_dir) -> DataFrame:
         "keep",
         "drop_reason",
         "n_pii",
+        "n_toxic",
         "scrubbed_caption",
     )
 

@@ -27,6 +27,7 @@ SCORE_FIELDS = [
     T.StructField("tokens", T.ArrayType(T.StringType()), True),
     T.StructField("labels", T.ArrayType(T.StringType()), True),
     T.StructField("n_pii", T.IntegerType(), True),
+    T.StructField("n_toxic", T.IntegerType(), True),
     T.StructField("scrubbed_caption", T.StringType(), True),
 ]
 

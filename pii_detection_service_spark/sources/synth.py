@@ -78,6 +78,8 @@ def caption_for(i: int) -> str:
     )
     if r < 0.42:  # plant PII into ~12% of rows
         return base + ", " + _PII_SNIPPETS[int(rng.integers(0, len(_PII_SNIPPETS)))]
+    if r < 0.47:  # plant toxicity into ~5% (scrub-masked, not dropped)
+        return base + ", what a stupid damn scene honestly"
     return base
 
 

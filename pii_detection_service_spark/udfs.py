@@ -23,11 +23,11 @@ from .functions import quality, tagger, textref
 # Scored columns appended by score_batch, in output order.
 SCORE_COLUMNS = [
     "lang", "ppl", "keep", "drop_reason",
-    "tokens", "labels", "n_pii", "scrubbed_caption",
+    "tokens", "labels", "n_pii", "n_toxic", "scrubbed_caption",
 ]
 SCORE_DDL = (
     "lang string, ppl double, keep boolean, drop_reason string, "
-    "tokens array<string>, labels array<string>, n_pii int, "
+    "tokens array<string>, labels array<string>, n_pii int, n_toxic int, "
     "scrubbed_caption string"
 )
 
@@ -50,10 +50,11 @@ def score_batch(captions: pd.Series) -> pd.DataFrame:
             "ppl": ppls,
             "keep": [k for k, _ in kd],
             "drop_reason": [r for _, r in kd],
-            "tokens": [t for t, _, _, _ in tagged],
-            "labels": [l for _, l, _, _ in tagged],
-            "n_pii": pd.Series([n for _, _, _, n in tagged], dtype="int32"),
-            "scrubbed_caption": [s for _, _, s, _ in tagged],
+            "tokens": [t[0] for t in tagged],
+            "labels": [t[1] for t in tagged],
+            "n_pii": pd.Series([t[3] for t in tagged], dtype="int32"),
+            "n_toxic": pd.Series([t[4] for t in tagged], dtype="int32"),
+            "scrubbed_caption": [t[2] for t in tagged],
         },
         index=caps.index,
     )

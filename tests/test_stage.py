@@ -25,7 +25,8 @@ def test_scored_matches_pure_python_golden(spark, src):
     must agree with the shared pure-Python semantics on every row (exact
     agreement ⇒ F1 = 1.0 ≥ 0.99)."""
     scored = stage.score(src).select(
-        "image_id", "caption", "lang", "keep", "drop_reason", "scrubbed_caption", "n_pii"
+        "image_id", "caption", "lang", "keep", "drop_reason",
+        "scrubbed_caption", "n_pii", "n_toxic",
     )
     rows = {r["image_id"]: r for r in scored.collect()}
     assert len(rows) == N
@@ -35,13 +36,14 @@ def test_scored_matches_pure_python_golden(spark, src):
         cap = synth.caption_for(i)
         lang = quality.langid_char_ngram(cap)
         keep, reason = quality.keep_decision(cap, lang, quality.perplexity(cap))
-        scrubbed, n_pii = tagger.scrub(cap)
+        _, _, scrubbed, n_pii, n_toxic = tagger.tag_and_scrub(cap)
         r = rows[image_id]
         if (
             r["keep"] != keep
             or r["drop_reason"] != reason
             or r["scrubbed_caption"] != scrubbed
             or r["n_pii"] != n_pii
+            or r["n_toxic"] != n_toxic
             or r["lang"] != lang
         ):
             mismatches += 1
@@ -50,10 +52,16 @@ def test_scored_matches_pure_python_golden(spark, src):
 
 def test_caption_byte_equality_for_kept_clean_rows(spark, src):
     scored = stage.score(src)
-    kept_clean = scored.where(F.col("keep") & (F.col("n_pii") == 0))
+    kept_clean = scored.where(
+        F.col("keep") & (F.col("n_pii") == 0) & (F.col("n_toxic") == 0)
+    )
     bad = kept_clean.where(F.col("scrubbed_caption") != F.col("caption")).count()
     assert bad == 0
     assert kept_clean.count() > 0
+    # toxic rows exist and are masked, not dropped
+    toxic = scored.where(F.col("n_toxic") > 0)
+    assert toxic.count() > 0
+    assert toxic.where(F.col("scrubbed_caption").contains("[TOXIC]")).count() == toxic.count()
 
 
 def test_pixel_preservation_invariant(spark, src):

@@ -121,3 +121,16 @@ def test_word_entropy():
     assert quality.word_entropy("a a a a") == 0.0
     import math
     assert abs(quality.word_entropy("a b") - math.log(2)) < 1e-12
+
+
+def test_toxicity_masked_not_dropped():
+    text = "a photo of the dog, what a stupid damn scene honestly"
+    toks, labels, scrubbed, n_pii, n_toxic = tagger.tag_and_scrub(text)
+    assert n_pii == 0 and n_toxic == 2
+    assert scrubbed == "a photo of the dog, what a [TOXIC] [TOXIC] scene honestly"
+    assert set(labels) == {"O"}  # toxicity is not a BIO PII class
+    # PII takes precedence over an overlapping toxic word
+    both = "email crap.damn@example.com now damn it"
+    _, _, s2, p2, t2 = tagger.tag_and_scrub(both)
+    assert p2 == 1 and t2 == 1
+    assert s2 == "email [EMAIL] now [TOXIC] it"
