@@ -95,6 +95,11 @@ def test_run_stage_and_resume(spark, src, tmp_path):
     assert lineage.where("status = 'done'").select("bucket").distinct().count() == 8
     assert lineage.count() == 8
 
+    # metrics table: per-(lang, keep, drop_reason) counts sum to all rows
+    metrics = spark.read.parquet(os.path.join(out, "metrics"))
+    assert {"lang", "keep", "drop_reason", "count"} <= set(metrics.columns)
+    assert metrics.agg(F.sum("count")).head()[0] == N
+
     # resume: everything complete → no recompute, no duplicate rows/lineage
     m2 = stage.run_stage(spark, src, out, n_buckets=8, salt_factor=2)
     assert m2["resumed_noop"]

@@ -1,0 +1,62 @@
+"""Streaming adapter: the same fused scoring pass runs on a file stream
+(readStream → mapInPandas → writeStream availableNow) with identical
+results to the batch stage."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from pii_detection_service_spark import streaming
+from pii_detection_service_spark.schema import INPUT_SCHEMA
+from pii_detection_service_spark.sources import synth
+
+
+def test_score_stream_matches_batch(spark, tmp_path):
+    src_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch_src = synth.synth_spark(spark, 60).coalesce(1)
+    batch_src.write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema(INPUT_SCHEMA).parquet(src_dir)
+    scored = streaming.score_stream(stream)
+    q = (
+        scored.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 60
+    # identical keep/scrub results to the batch path
+    from pii_detection_service_spark.plans import stage
+
+    batch = stage.score(spark.read.parquet(src_dir)).select(
+        "image_id", "keep", "scrubbed_caption", "n_pii", "n_toxic"
+    )
+    diff = (
+        got.select("image_id", "keep", "scrubbed_caption", "n_pii", "n_toxic")
+        .exceptAll(batch)
+        .count()
+    )
+    assert diff == 0
+
+    # incremental catch-up: new file arrives → only new rows processed
+    synth.synth_spark(spark, 10, num_partitions=1).selectExpr(
+        "concat('new_', image_id) as image_id", "bytes", "w", "h", "fmt",
+        "caption", "phash",
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    q2 = (
+        streaming.score_stream(spark.readStream.schema(INPUT_SCHEMA).parquet(src_dir))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 70
