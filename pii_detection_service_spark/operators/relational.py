@@ -168,6 +168,38 @@ def events_hourly(spark, sf_dir) -> DataFrame:
     )
 
 
+def documents_render(spark, sf_dir) -> DataFrame:
+    """§3.2 GET /documents composed end-to-end (minus the A4 merge UDF):
+    top-10 recency (F1/F3) → pseudo-BIO labels → prefix strip (A8) →
+    sentinel slice (F7) → display truncation (F6) — one Catalyst plan, all
+    native."""
+    words = F.split(F.col("text"), " ")
+    labels = F.expr(
+        "transform(split(text, ' '), w -> "
+        "case when w like '%@%' then 'B-EMAIL' "
+        "when w rlike '^[0-9]+$' then 'B-ID_NUM' "
+        "when w rlike '^[A-Z]' then 'B-NAME_STUDENT' "
+        "else 'O' end)"
+    )
+    stripped = F.transform(labels, lambda l: F.regexp_replace(l, "^[BI]-", ""))
+    t = F.col("text")
+    return (
+        table(spark, sf_dir, "documents")
+        .where(F.size(words) >= 3)
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id",
+            F.when(F.length(t) > 50, F.concat(F.substring(t, 1, 50), F.lit("...")))
+            .otherwise(t)
+            .alias("preview"),
+            F.concat_ws(
+                " ", F.slice(stripped, 2, F.size(stripped) - 2)
+            ).alias("inner_labels"),
+        )
+    )
+
+
 def window_topn_per_group(spark, sf_dir) -> DataFrame:
     """Top-3 docs by n_chars per language via row_number — the window-rank
     dedup/top-N shape (SURVEY §2.6: the one window op the target needs)."""

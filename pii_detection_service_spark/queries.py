@@ -273,6 +273,28 @@ ORACLES: dict[str, str | None] = {
         "SELECT doc_id, min(grp_min) AS dup_of, min(grp_min) = doc_id AS survivor "
         "FROM pb GROUP BY doc_id"
     ),
+    "documents_render": """
+        WITH top AS (
+          SELECT doc_id, text FROM documents
+          WHERE len(string_split(text, ' ')) >= 3
+          ORDER BY n_chars DESC, doc_id LIMIT 10
+        ), lab AS (
+          SELECT doc_id, text,
+                 list_transform(string_split(text, ' '), w ->
+                    regexp_replace(
+                      CASE WHEN w LIKE '%@%' THEN 'B-EMAIL'
+                           WHEN regexp_matches(w, '^[0-9]+$') THEN 'B-ID_NUM'
+                           WHEN regexp_matches(w, '^[A-Z]') THEN 'B-NAME_STUDENT'
+                           ELSE 'O' END, '^[BI]-', '')) AS stripped
+          FROM top
+        )
+        SELECT doc_id,
+               CASE WHEN length(text) > 50 THEN substr(text, 1, 50) || '...'
+                    ELSE text END AS preview,
+               array_to_string(list_slice(stripped, 2, len(stripped) - 1), ' ')
+                   AS inner_labels
+        FROM lab
+    """,
     "window_topn_per_lang": """
         SELECT lang, rn::INTEGER AS rn, doc_id, n_chars FROM (
           SELECT lang, doc_id, n_chars,
@@ -409,6 +431,7 @@ SPARK_BUILDERS = {
     "dedup_minhash_signatures": dedup.minhash_signatures,
     "dedup_minhash_bands": dedup.minhash_band_candidates,
     "dedup_minhash_survivors": dedup.minhash_survivors,
+    "documents_render": relational.documents_render,
     "window_topn_per_lang": relational.window_topn_per_group,
     "dedup_simhash": dedup.simhash,
     "dedup_jaccard_pairs": dedup.jaccard_pairs,
