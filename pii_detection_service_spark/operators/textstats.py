@@ -12,7 +12,7 @@ semantics allow. Each has an exact DuckDB oracle in queries.py.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from ..functions.quality import LANG_MARKERS
 from .relational import table
@@ -196,6 +196,41 @@ def fbeta_arrays(spark, sf_dir) -> DataFrame:
     f5 = F.round((26.0 * tp) / (26.0 * tp + 25.0 * mism + mism), 6)
     return ex.groupBy("lang").agg(
         tp.alias("tp"), mism.alias("mism"), f5.alias("f5"), (f5 < 0.8).alias("drifting")
+    )
+
+
+def tfidf_top_terms(spark, sf_dir) -> DataFrame:
+    """TF-IDF salient terms, top-3 per document — the corpus-statistics op a
+    training-data pipeline runs for topic/quality signals. Three shuffles by
+    design: (doc,term) partial-agg for tf, term-agg for document frequency,
+    then a term-keyed join back (term cardinality is high → no broadcast)
+    and one window per doc. The corpus size joins in as a broadcast scalar,
+    never a driver-side constant baked into the plan."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    w = d.select(
+        "doc_id", F.size(words).alias("n_words"), F.explode(words).alias("term")
+    )
+    tf = w.groupBy("doc_id", "n_words", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = F.broadcast(d.agg(F.count(F.lit(1)).alias("n_total")))
+    tfidf = F.round(
+        (F.col("tf").cast("double") / F.col("n_words"))
+        * F.log(F.col("n_total").cast("double") / F.col("df")),
+        6,
+    )
+    scored = tf.join(dfreq, "term").crossJoin(total).select(
+        "doc_id", "term", tfidf.alias("tfidf")
+    )
+    rank_w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(rank_w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", F.col("rn").cast("int").alias("rn"), "term", "tfidf")
     )
 
 

@@ -16,7 +16,16 @@ and Spark 4.1):
 
 from __future__ import annotations
 
-from .operators import dedup, multimodal, pipeline, relational, similarity, textstats
+from .operators import (
+    dedup,
+    events,
+    joins,
+    multimodal,
+    pipeline,
+    relational,
+    similarity,
+    textstats,
+)
 
 
 def _multimodal_decode_stats(spark, sf_dir):
@@ -401,6 +410,109 @@ ORACLES: dict[str, str | None] = {
                round((26.0 * tp) / (26.0 * tp + 25.0 * mism + mism), 6) < 0.8 AS drifting
         FROM agg
     """,
+    # --- join family (§2.3: every strategy the 100 TB plan relies on) ---
+    "join_region_rollup": """
+        SELECT r_name, count(*)::BIGINT AS n_customers,
+               CAST(sum(c_acctbal::DECIMAL(18,2)) AS DOUBLE) AS sum_acctbal,
+               round(CAST(sum(c_acctbal::DECIMAL(18,2)) AS DOUBLE) / count(*), 4)
+                   AS avg_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "join_shipping_priority": """
+        SELECT l_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+               o_orderpriority,
+               CAST(sum(l_extendedprice::DECIMAL(18,2) *
+                        (1.0::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "join_semi_big_spenders": """
+        SELECT c_custkey, c_mktsegment, c_acctbal FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000.0)
+    """,
+    "join_anti_inactive": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+    """,
+    # the salted join's ORACLE is the plain (unsalted) join — same result by
+    # construction; the salt only changes the physical shuffle layout.
+    "join_salted_skew": (
+        "WITH dim(lang, weight) AS (VALUES "
+        + ", ".join(f"('{l}', {w})" for l, w in joins.LANG_DIM)
+        + ") SELECT d.lang, count(*)::BIGINT AS n_docs, "
+        "round(CAST(sum((n_chars * weight)::DECIMAL(18,2)) AS DOUBLE), 2) "
+        "AS weighted_chars "
+        "FROM documents d JOIN dim ON d.lang = dim.lang GROUP BY d.lang"
+    ),
+    "join_brand_revenue": """
+        SELECT p_brand,
+               CAST(sum(l_extendedprice::DECIMAL(18,2) *
+                        (1.0::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) AS DOUBLE)
+                   AS revenue,
+               count(*)::BIGINT AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    # --- event analytics ---
+    "events_props_json": """
+        SELECT event_type, count(*)::BIGINT AS n,
+               sum(json_extract(props, '$.k')::INTEGER)::BIGINT AS sum_k,
+               min(json_extract(props, '$.k')::INTEGER) AS min_k,
+               max(json_extract(props, '$.k')::INTEGER) AS max_k
+        FROM events GROUP BY event_type
+    """,
+    "events_sessionize": """
+        WITH g AS (
+          SELECT user_id,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, sum(new_sess)::BIGINT AS n_sessions,
+               count(*)::BIGINT AS n_events
+        FROM g GROUP BY user_id
+    """,
+    # --- corpus statistics ---
+    "tfidf_top_terms": """
+        WITH w AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+                 unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ), t AS (
+          SELECT doc_id, n_words, term, count(*) AS tf
+          FROM w GROUP BY doc_id, n_words, term
+        ), dfreq AS (
+          SELECT term, count(*) AS df FROM t GROUP BY term
+        ), total AS (SELECT count(*) AS n_total FROM documents),
+        s AS (
+          SELECT t.doc_id, t.term,
+                 round((tf::DOUBLE / n_words) * ln(n_total::DOUBLE / df), 6)
+                     AS tfidf
+          FROM t JOIN dfreq ON t.term = dfreq.term CROSS JOIN total
+        )
+        SELECT doc_id, rn::INTEGER AS rn, term, tfidf FROM (
+          SELECT doc_id, term, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term) AS rn
+          FROM s) z
+        WHERE rn <= 3
+    """,
     # --- UDF-backed pipeline queries: rows-only driver check ---
     "pipeline_score_documents": None,
     "pipeline_predict_documents": None,
@@ -443,6 +555,15 @@ SPARK_BUILDERS = {
     "a6_reconstruct": textstats.reconstruct_text,
     "a7_clean_tokens": textstats.clean_tokens,
     "g1_fbeta_arrays": textstats.fbeta_arrays,
+    "join_region_rollup": joins.region_rollup,
+    "join_shipping_priority": joins.shipping_priority,
+    "join_semi_big_spenders": joins.semi_join_big_spenders,
+    "join_anti_inactive": joins.anti_join_inactive,
+    "join_salted_skew": joins.salted_skew_join,
+    "join_brand_revenue": joins.brand_revenue,
+    "events_props_json": events.props_json,
+    "events_sessionize": events.sessionize,
+    "tfidf_top_terms": textstats.tfidf_top_terms,
     "pipeline_score_documents": pipeline.score_documents,
     "pipeline_predict_documents": pipeline.predict_documents,
     "multimodal_decode_stats": _multimodal_decode_stats,

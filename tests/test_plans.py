@@ -58,6 +58,43 @@ def test_salt_balances_skewed_bucket(spark):
     assert max(nonempty) < n  # no single partition holds everything
 
 
+def test_region_rollup_broadcasts_both_dims(spark):
+    """nation/region are tiny at any scale — the fact side must never
+    shuffle for this join."""
+    from pii_detection_service_spark.operators import joins
+
+    plan = _plan(joins.region_rollup(spark, SF))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_anti_join_types(spark):
+    from pii_detection_service_spark.operators import joins
+
+    assert "LeftSemi" in _plan(joins.semi_join_big_spenders(spark, SF))
+    assert "LeftAnti" in _plan(joins.anti_join_inactive(spark, SF))
+
+
+def test_salted_join_shuffles_on_composite_key(spark):
+    """The skew demo must actually shuffle on (lang, salt) — a broadcast
+    plan would have no skew to mitigate."""
+    from pii_detection_service_spark.operators import joins
+
+    plan = _plan(joins.salted_skew_join(spark, SF))
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "hashpartitioning(lang" in plan and "salt" in plan
+
+
+def test_sessionize_single_shuffle(spark):
+    """Both windows and the final aggregate share the user_id partitioning:
+    exactly one exchange in the whole plan."""
+    from pii_detection_service_spark.operators import events
+
+    plan = _plan(events.sessionize(spark, SF))
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 2
+
+
 def test_dedup_exact_partial_aggregation(spark):
     """Hash-groupBy must do map-side partial aggregation (two HashAggregate
     nodes around the exchange)."""
