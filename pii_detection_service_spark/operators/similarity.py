@@ -76,31 +76,47 @@ def topk_cosine_fast(spark, sf_dir, k: int = 10) -> DataFrame:
     return scored.orderBy(F.col("cos").desc(), "vec_id").limit(k)
 
 
+def _anchor_literals(spark, sf_dir, n_anchors: int = 8) -> dict[int, list[float]]:
+    """Collect the n_anchors data-derived hyperplanes (vec_id 1..n) to the
+    driver. They are model constants of the LSH index — 8×64 doubles — and
+    inlining them makes bucket assignment MAP-ONLY: no join, no per-vector
+    groupBy shuffle. At 100 TB this is the difference between a scan-speed
+    pass and shuffling 8× the corpus row count."""
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .where((F.col("vec_id") >= 1) & (F.col("vec_id") <= n_anchors))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+
+
+def _bucket_sql(anchors: dict[int, list[float]]) -> str:
+    """bucket = Σ_j (dot(v, anchor_j) > 0) << (j-1), anchors inlined as
+    array literals. The dot stays the same sequential fold as the oracle's,
+    so the sign (and thus the bucket) matches bit-for-bit."""
+    terms = []
+    for aid in sorted(anchors):
+        arr = "array(" + ", ".join(repr(x) for x in anchors[aid]) + ")"
+        dot = _DOT.format(u="v", v=arr)
+        terms.append(
+            f"(case when {dot} > 0 then cast({1 << (aid - 1)} as bigint) "
+            "else cast(0 as bigint) end)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def ann_search(spark, sf_dir, query_vec_id: int = 0, n_anchors: int = 8) -> DataFrame:
     """Bucket-pruned ANN: assign every vector (and the query) a sign-LSH
     bucket from data-derived anchors, then brute-force ONLY the query's
     bucket — at scale the bucket is the partition key, so the scan prunes
-    to ~1/2^b of the corpus instead of shuffling all of it."""
+    to ~1/2^b of the corpus instead of shuffling all of it. Bucket
+    assignment is a map-only projection (anchors inlined as literals)."""
+    anchors = _anchor_literals(spark, sf_dir, n_anchors)
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    anchors = e.where(
-        (F.col("vec_id") >= 1) & (F.col("vec_id") <= n_anchors)
-    ).select(F.col("vec_id").alias("aid"), F.col("v").alias("av"))
-    dot = F.expr(_DOT.format(u="v", v="av"))
-    bucketed = (
-        e.join(F.broadcast(anchors))
-        .groupBy("vec_id")
-        .agg(
-            F.sum(
-                F.when(
-                    dot > 0,
-                    F.expr("shiftleft(cast(1 as bigint), cast(aid as int) - 1)"),
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("bucket")
-        )
-        .join(e, "vec_id")
-    )
+    bucketed = e.withColumn("bucket", F.expr(_bucket_sql(anchors)))
     qb = bucketed.where(F.col("vec_id") == query_vec_id).select(
         F.col("bucket").alias("qbucket"), F.col("v").alias("qv")
     )
@@ -120,24 +136,11 @@ def ann_search(spark, sf_dir, query_vec_id: int = 0, n_anchors: int = 8) -> Data
 
 def lsh_buckets(spark, sf_dir) -> DataFrame:
     """Sign-LSH bucket histogram: 8 data-derived hyperplanes (embeddings of
-    vec_id 1..8); bucket = Σ_j (dot(v, anchor_j) > 0) << (j-1)."""
+    vec_id 1..8); bucket = Σ_j (dot(v, anchor_j) > 0) << (j-1). One map-only
+    pass + one histogram aggregate — the only shuffle carries ≤2^8 rows."""
+    anchors = _anchor_literals(spark, sf_dir, 8)
     e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        F.col("embedding").cast("array<double>").alias("v")
     )
-    anchors = e.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= 8)).select(
-        F.col("vec_id").alias("aid"), F.col("v").alias("av")
-    )
-    dot = F.expr(_DOT.format(u="v", v="av"))
-    per_vec = (
-        e.join(F.broadcast(anchors))
-        .groupBy("vec_id")
-        .agg(
-            F.sum(
-                F.when(
-                    dot > 0,
-                    F.expr("shiftleft(cast(1 as bigint), cast(aid as int) - 1)"),
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("bucket")
-        )
-    )
+    per_vec = e.select(F.expr(_bucket_sql(anchors)).alias("bucket"))
     return per_vec.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
