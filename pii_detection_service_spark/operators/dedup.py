@@ -57,11 +57,8 @@ def minhash_signatures(spark, sf_dir) -> DataFrame:
     return d.select("doc_id", *cols)
 
 
-def minhash_band_candidates(spark, sf_dir) -> DataFrame:
-    """LSH banding (4 bands × 2 rows): docs sharing any band key are
-    near-dup candidates. Returns per-band bucket sizes — the shuffle is
-    keyed on tiny band strings, never on document text."""
-    sig = minhash_signatures(spark, sf_dir)
+def _band_assignments(sig: DataFrame) -> DataFrame:
+    """LSH banding (4 bands × 2 rows): (doc_id, band, band_key) rows."""
     bands = None
     for band in range(4):
         b = sig.select(
@@ -72,6 +69,14 @@ def minhash_band_candidates(spark, sf_dir) -> DataFrame:
             ).alias("band_key"),
         )
         bands = b if bands is None else bands.unionAll(b)
+    return bands
+
+
+def minhash_band_candidates(spark, sf_dir) -> DataFrame:
+    """LSH banding: docs sharing any band key are near-dup candidates.
+    Returns per-band bucket sizes — the shuffle is keyed on tiny band
+    strings, never on document text."""
+    bands = _band_assignments(minhash_signatures(spark, sf_dir))
     return (
         bands.groupBy("band", "band_key")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
@@ -86,23 +91,83 @@ def minhash_survivors(spark, sf_dir) -> DataFrame:
     Window min over (band, band_key), then per-doc reduction."""
     from pyspark.sql import Window
 
-    sig = minhash_signatures(spark, sf_dir)
-    bands = None
-    for band in range(4):
-        b = sig.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.concat_ws(
-                "_", F.col(f"mh{2 * band}"), F.col(f"mh{2 * band + 1}")
-            ).alias("band_key"),
-        )
-        bands = b if bands is None else bands.unionAll(b)
+    bands = _band_assignments(minhash_signatures(spark, sf_dir))
     w = Window.partitionBy("band", "band_key")
     per_band = bands.withColumn("grp_min", F.min("doc_id").over(w))
     return (
         per_band.groupBy("doc_id")
         .agg(F.min("grp_min").alias("dup_of"))
         .withColumn("survivor", F.col("dup_of") == F.col("doc_id"))
+    )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every node
+    starts labeled with its own id; each round, labels flow across edges and
+    each node keeps the minimum seen; stop at fixpoint. Convergence needs
+    O(diameter) rounds — on LSH star-edges (doc ↔ band-group min) the
+    diameter is tiny, so 2-4 rounds close even chained clusters. At 100 TB
+    you'd swap in the large-star/small-star variant (same primitive, fewer
+    rounds); the per-round plan here is already the right one: one shuffle
+    join + one min-aggregate, labels cached between rounds.
+
+    nodes: one column `doc_id`. edges: columns (a, b), directed — pass both
+    directions for undirected graphs. Returns (doc_id, cluster_id).
+    """
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster")).cache()
+    for _ in range(max_iters):
+        msgs = edges.join(
+            labels, edges["b"] == labels["doc_id"]
+        ).select(F.col("a").alias("doc_id"), "cluster")
+        new_labels = (
+            labels.unionAll(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("cluster").alias("cluster"))
+            .cache()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("cluster", "old_cluster"), "doc_id"
+            )
+            .where(F.col("cluster") != F.col("old_cluster"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(spark, sf_dir) -> DataFrame:
+    """Transitive near-dup clustering — the endgame of MinHash dedup: a doc
+    sharing a band with B, where B shares a *different* band with C, must
+    land in ONE cluster (single-round survivor rules miss the A~C link).
+    Star edges (doc ↔ band-group min) keep the edge count linear in corpus
+    size — never the quadratic clique — then connected components collapse
+    chains to their global min id."""
+    from pyspark.sql import Window
+
+    sig = minhash_signatures(spark, sf_dir)
+    bands = _band_assignments(sig)
+    w = Window.partitionBy("band", "band_key")
+    star = bands.withColumn("grp_min", F.min("doc_id").over(w))
+    edges = (
+        star.where(F.col("doc_id") != F.col("grp_min"))
+        .select(F.col("doc_id").alias("a"), F.col("grp_min").alias("b"))
+        .distinct()
+    )
+    und = edges.unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
+    nodes = sig.select("doc_id")
+    labels = connected_components(nodes, und)
+    return labels.select(
+        "doc_id",
+        F.col("cluster").alias("cluster_id"),
+        (F.col("cluster") == F.col("doc_id")).alias("survivor"),
     )
 
 

@@ -282,6 +282,25 @@ ORACLES: dict[str, str | None] = {
         "SELECT doc_id, min(grp_min) AS dup_of, min(grp_min) = doc_id AS survivor "
         "FROM pb GROUP BY doc_id"
     ),
+    # transitive closure: DuckDB recursive CTE is the oracle for the Spark
+    # min-label-propagation loop (both converge to min reachable id).
+    "dedup_clusters": (
+        "WITH RECURSIVE s AS (" + _SHINGLES_CTE + "), "
+        "h AS (SELECT doc_id, " + _HASH_LIST.format(col="shingles") + " AS hs FROM s), "
+        "sig AS (SELECT doc_id, " + _minhash_cols() + " FROM h), "
+        "bands AS (" + _BANDS_UNION + "), "
+        "pb AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, band_key) "
+        "AS grp_min FROM bands), "
+        "edges AS (SELECT DISTINCT doc_id AS a, grp_min AS b FROM pb "
+        "WHERE doc_id <> grp_min), "
+        "und AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges), "
+        "reach(src, dst) AS ("
+        "SELECT doc_id, doc_id FROM s "
+        "UNION "
+        "SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst) "
+        "SELECT src AS doc_id, min(dst) AS cluster_id, min(dst) = src AS survivor "
+        "FROM reach GROUP BY src"
+    ),
     "documents_render": """
         WITH top AS (
           SELECT doc_id, text FROM documents
@@ -543,6 +562,7 @@ SPARK_BUILDERS = {
     "dedup_minhash_signatures": dedup.minhash_signatures,
     "dedup_minhash_bands": dedup.minhash_band_candidates,
     "dedup_minhash_survivors": dedup.minhash_survivors,
+    "dedup_clusters": dedup.dedup_clusters,
     "documents_render": relational.documents_render,
     "window_topn_per_lang": relational.window_topn_per_group,
     "dedup_simhash": dedup.simhash,
