@@ -16,6 +16,7 @@ input_hint-shaped directory) can reuse the identical stage logic with
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from .. import udfs
@@ -31,4 +32,28 @@ def score_stream(stream_df: DataFrame) -> DataFrame:
     )
     return stream_df.mapInPandas(
         udfs.make_score_iter(cols), schema=f"{ddl_in}, {udfs.SCORE_DDL}"
+    )
+
+
+def windowed_quality_metrics(
+    scored_stream: DataFrame,
+    ts_col: str = "ingest_ts",
+    window_dur: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup of the scored stream: keep/drop
+    and PII counts per (window, lang, keep). The watermark bounds state —
+    without it a long-running ingest stream accumulates every window ever
+    seen; with it, windows older than the watermark are finalized and
+    evicted. Late rows inside the watermark still update their window;
+    rows later than that are dropped (counted by Spark's
+    numRowsDroppedByWatermark metric, the honest place to surface them)."""
+    return (
+        scored_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_dur).alias("win"), "lang", "keep")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("n_pii").cast("long")).alias("total_pii"),
+            F.sum((F.col("n_toxic") > 0).cast("long")).alias("n_toxic_rows"),
+        )
     )

@@ -60,3 +60,59 @@ def test_score_stream_matches_batch(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == 70
+
+
+def test_windowed_quality_metrics_matches_batch(spark, tmp_path):
+    """Watermarked tumbling-window rollup over the scored stream equals the
+    same aggregate computed in batch (complete mode → memory sink)."""
+    src_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    # deterministic event time: spread rows over ~10 one-minute windows
+    synth.synth_spark(spark, 80).withColumn(
+        "ingest_ts",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, pmod(phash, 600))"
+        ),
+    ).coalesce(1).write.mode("overwrite").parquet(src_dir)
+
+    from pyspark.sql.types import StructField, TimestampType
+
+    schema = INPUT_SCHEMA.add(StructField("ingest_ts", TimestampType()))
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    scored = streaming.score_stream(stream)
+    agg = streaming.windowed_quality_metrics(scored)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_metrics")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (str(r["win"]["start"]), r["lang"], r["keep"]): (
+            r["n"], r["total_pii"], r["n_toxic_rows"],
+        )
+        for r in spark.sql("select * from win_metrics").collect()
+    }
+    from pii_detection_service_spark.plans import stage
+
+    batch = (
+        stage.score(spark.read.parquet(src_dir))
+        .groupBy(F.window("ingest_ts", "1 minute").alias("win"), "lang", "keep")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("n_pii").cast("long")).alias("total_pii"),
+            F.sum((F.col("n_toxic") > 0).cast("long")).alias("n_toxic_rows"),
+        )
+        .collect()
+    )
+    want = {
+        (str(r["win"]["start"]), r["lang"], r["keep"]): (
+            r["n"], r["total_pii"], r["n_toxic_rows"],
+        )
+        for r in batch
+    }
+    assert got == want and len(want) > 1
