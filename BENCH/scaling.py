@@ -57,9 +57,24 @@ def one_leg(cores: int, cache: str) -> float:
     src = spark.read.parquet(cache)
     best = 0.0
     n = 0
+    import pyspark.sql.functions as F
+
     for _ in range(TRIALS):
         t0 = time.monotonic()
-        n = stage.score(stage.with_bucket(src, 64)).count()
+        # aggregate over SCORED columns: a bare count() would let Catalyst
+        # prune the row-preserving scoring UDF out of the plan entirely
+        # (mapInPandas could not be pruned; a scalar pandas_udf can)
+        row = (
+            stage.score(stage.with_bucket(src, 64))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("keep").cast("long")).alias("kept"),
+                F.sum("n_pii").alias("pii"),
+            )
+            .collect()[0]
+        )
+        n = row["n"]
+        assert 0 < row["kept"] < n  # scoring really ran
         ips = n / (time.monotonic() - t0)
         best = max(best, ips)
     spark.stop()

@@ -83,10 +83,18 @@ def main():
         stage.read_synth_or_generate(spark, n_images).repartition(64).write.mode(
             "overwrite"
         ).parquet(cache)
+    import pyspark.sql.functions as F
+
     src = spark.read.parquet(cache)
     t0 = time.monotonic()
     scored = stage.score(stage.with_bucket(src, 64))
-    n = scored.count()
+    # aggregate over scored columns — a bare count() would let Catalyst
+    # prune the row-preserving scoring UDF out of the executed plan
+    row = scored.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("keep").cast("long")).alias("kept")
+    ).collect()[0]
+    n = row["n"]
+    assert 0 < row["kept"] < n
     t_images = time.monotonic() - t0
     times["image_stage"] = round(t_images, 3)
     rows["image_stage"] = n

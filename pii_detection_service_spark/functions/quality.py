@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 import re
+from collections import Counter
 
 # --- stopword-marker langid (SQL-portable) ---------------------------------
 # Word-boundary marker sets per language. Voting: count marker hits per
@@ -127,6 +128,24 @@ def perplexity(text: str) -> float:
     return float(math.exp(-_LM_TBL[ids].sum() / len(ids)))
 
 
+def lang_and_ppl(text: str) -> tuple[str, float]:
+    """Fused langid + perplexity sharing ONE text lowering and ONE bigram
+    encode (the two kernels account for most of the non-tagger scoring
+    cost). Bit-identical to (langid_char_ngram(text), perplexity(text)):
+    the sentinel-wrapped id array's interior slice IS the plain-text id
+    array, since bigram ids only depend on adjacent codepoint pairs.
+    Equality is property-tested in tests/test_properties.py."""
+    t = text.lower()
+    if not t:
+        return "und", 1e9
+    ids_full = _bigram_ids("^" + t + "$")
+    ppl = float(math.exp(-_LM_TBL[ids_full].sum() / len(ids_full)))
+    if len(t) < 2 or not any(c.isalpha() for c in t):
+        return "und", ppl
+    sums = _LANG_TBL[ids_full[1:-1]].sum(axis=0)
+    return _LANGS[int(np.argmax(sums))], ppl
+
+
 # --- word-entropy (SQL-portable repetition metric) --------------------------
 
 def word_entropy(text: str) -> float:
@@ -182,11 +201,13 @@ def keep_decision(text: str, lang: str, ppl: float) -> tuple[bool, str]:
         return False, "too_short"
     if len(text) > MAX_CHARS:
         return False, "too_long"
-    if len(text.split()) < MIN_WORDS:
+    words = text.split()  # one split feeds both word rules (no empties)
+    if len(words) < MIN_WORDS:
         return False, "too_few_words"
     if symbol_ratio(text) > MAX_SYMBOL_RATIO:
         return False, "symbol_heavy"
-    if top_word_ratio(text) > MAX_TOP_WORD_RATIO:
+    counts = Counter(words)
+    if max(counts.values()) / len(words) > MAX_TOP_WORD_RATIO:
         return False, "repetitive"
     if lang not in ALLOWED_LANGS:
         return False, "bad_lang"

@@ -93,20 +93,21 @@ def word_tokenize(text: str) -> list[tuple[str, int, int]]:
     emails stay intact.
     """
     out: list[tuple[str, int, int]] = []
+    append = out.append
+    punct = TRAILING_PUNCT
+    abbrevs = ABBREVIATIONS
     for m in WORD_RE.finditer(text):
-        w, s, e = m.group(), m.start(), m.end()
-        me = m.end()
-        while (
-            len(w) > 1
-            and w[-1] in TRAILING_PUNCT
-            and w not in ABBREVIATIONS
-        ):
-            w = w[:-1]
+        s, me = m.span()
+        e = me
+        # peel trailing punctuation by index; slice only when a punct char
+        # is actually present (the abbreviation check needs the string)
+        while e - s > 1 and text[e - 1] in punct:
+            if text[s:e] in abbrevs:
+                break
             e -= 1
-        out.append((w, s, e))
-        if e < me:
-            for i in range(e, me):
-                out.append((text[i], i, i + 1))
+        append((text[s:e], s, e))
+        for i in range(e, me):
+            append((text[i], i, i + 1))
     return out
 
 

@@ -46,12 +46,16 @@ SALT_FACTOR = 8
 
 
 def score(df: DataFrame) -> DataFrame:
-    """Map-only fused scoring pass (langid/ppl/keep/tag/scrub)."""
-    cols = df.columns
-    ddl_in = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-    return df.mapInPandas(
-        udfs.make_score_iter(cols), schema=f"{ddl_in}, {udfs.SCORE_DDL}"
-    )
+    """Map-only fused scoring pass (langid/ppl/keep/tag/scrub).
+
+    Scalar pandas_udf, NOT mapInPandas: only the caption column is
+    Arrow-serialized to the Python worker; image bytes and the other
+    passthrough columns never leave the JVM. At 10^12 rows the bytes
+    column is ~10-20x the caption volume, so this is the difference
+    between shipping captions and shipping the whole table through
+    Python."""
+    scored = df.withColumn("_scored", udfs.make_score_struct_udf()(F.col("caption")))
+    return scored.select(*df.columns, "_scored.*")
 
 
 def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:

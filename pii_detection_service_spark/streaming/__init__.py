@@ -25,14 +25,12 @@ from .. import udfs
 def score_stream(stream_df: DataFrame) -> DataFrame:
     """Apply the flagship scoring pass to a streaming DataFrame. The caller
     owns source/sink/checkpoint wiring; semantics are identical to the
-    batch stage's `score`."""
-    cols = stream_df.columns
-    ddl_in = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in stream_df.schema.fields
+    batch stage's `score` (same scalar pandas_udf — only the caption column
+    crosses the Arrow boundary, on streams exactly as in batch)."""
+    scored = stream_df.withColumn(
+        "_scored", udfs.make_score_struct_udf()(F.col("caption"))
     )
-    return stream_df.mapInPandas(
-        udfs.make_score_iter(cols), schema=f"{ddl_in}, {udfs.SCORE_DDL}"
-    )
+    return scored.select(*stream_df.columns, "_scored.*")
 
 
 def windowed_quality_metrics(

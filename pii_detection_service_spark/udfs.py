@@ -37,8 +37,9 @@ def score_batch(captions: pd.Series) -> pd.DataFrame:
     keep/drop heuristics + BIO PII tagging + scrub (SURVEY.md §2.9 UDF
     batch 1+2 fused — one Arrow hop instead of two)."""
     caps = captions.fillna("")
-    langs = caps.map(quality.langid_char_ngram)
-    ppls = caps.map(quality.perplexity)
+    lp = caps.map(quality.lang_and_ppl)  # fused: one lower + one bigram encode
+    langs = pd.Series([x[0] for x in lp], index=caps.index)
+    ppls = pd.Series([x[1] for x in lp], index=caps.index)
     kd = [
         quality.keep_decision(c, l, p)
         for c, l, p in zip(caps, langs, ppls)
@@ -61,7 +62,15 @@ def score_batch(captions: pd.Series) -> pd.DataFrame:
 
 
 def make_score_iter(passthrough_cols: list[str], caption_col: str = "caption"):
-    """mapInPandas function: passthrough + scored columns."""
+    """mapInPandas function: passthrough + scored columns.
+
+    NOTE: this ships EVERY column (including image bytes) through Arrow to
+    Python. Prefer ``score_struct_udf`` (plans/stage.py uses it): a scalar
+    pandas_udf serializes only the caption column and Spark zips the struct
+    result back positionally — at 100 TB that is ~10-20x less Arrow traffic.
+    Kept for surfaces where the full batch genuinely must reach Python
+    (e.g. fused image+caption kernels).
+    """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -69,6 +78,19 @@ def make_score_iter(passthrough_cols: list[str], caption_col: str = "caption"):
             yield pd.concat([pdf[passthrough_cols], scored], axis=1)
 
     return fn
+
+
+def make_score_struct_udf():
+    """Scalar pandas_udf: caption in → struct of scored columns out. Only
+    the caption column crosses the Arrow boundary; bytes/phash/etc. stay
+    JVM-side. Same kernel (score_batch), bit-identical outputs."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(f"struct<{SCORE_DDL}>")
+    def score_struct(captions: pd.Series) -> pd.DataFrame:
+        return score_batch(captions)
+
+    return score_struct
 
 
 def predict_pipeline_batch(texts: pd.Series) -> pd.DataFrame:

@@ -83,6 +83,10 @@ def test_quality_functions_total(text):
     keep, reason = quality.keep_decision(text, lang, ppl)
     assert isinstance(keep, bool)
     assert (reason == "") == keep
+    # the fused fast path must agree bit-for-bit with the separate kernels
+    flang, fppl = quality.lang_and_ppl(text)
+    assert flang == lang
+    assert fppl == ppl
 
 
 @given(st.lists(label, min_size=1, max_size=50), st.lists(label, min_size=1, max_size=50))
