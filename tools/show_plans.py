@@ -42,6 +42,12 @@ def main():
         "window_topn_per_lang",
         "g1_fbeta_arrays",
         "lineitem_pricing",
+        "join_region_rollup",
+        "join_shipping_priority",
+        "join_salted_skew",
+        "join_anti_inactive",
+        "events_sessionize",
+        "tfidf_top_terms",
     ]
     out = ["# PLANS — formatted physical plans for load-bearing queries", ""]
     for name in picks:
