@@ -51,6 +51,10 @@ def main():
         "langid_stopword",
         "fingerprint",
         "g1_fbeta_drift",
+        "join_shipping_priority",
+        "events_sessionize",
+        "tfidf_top_terms",
+        "dedup_clusters",
     ]
 
     # Warm the Python worker pool (each worker cold-imports pandas/numpy

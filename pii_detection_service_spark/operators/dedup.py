@@ -162,8 +162,15 @@ def dedup_clusters(spark, sf_dir) -> DataFrame:
     und = edges.unionAll(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).cache()
-    nodes = sig.select("doc_id")
+    # node set = same filter as the signatures, WITHOUT recomputing the
+    # minhash expressions (a full signature pass just to list ids)
+    nodes = (
+        table(spark, sf_dir, "documents")
+        .where(F.length("text") >= 3)
+        .select("doc_id")
+    )
     labels = connected_components(nodes, und)
+    und.unpersist()
     return labels.select(
         "doc_id",
         F.col("cluster").alias("cluster_id"),

@@ -37,6 +37,21 @@ def props_json(spark, sf_dir) -> DataFrame:
     )
 
 
+def value_quantiles(spark, sf_dir) -> DataFrame:
+    """Exact interpolated quantiles of value per event_type (Spark
+    `percentile`; the approximate scale path is `approx_percentile` with
+    identical call shape — exact here so the DuckDB quantile_cont oracle
+    can verify the distributed sort-based implementation)."""
+    ev = table(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.25D, 0.5D, 0.75D))")
+    return ev.groupBy("event_type").agg(
+        F.round(pct[0], 6).alias("p25"),
+        F.round(pct[1], 6).alias("p50"),
+        F.round(pct[2], 6).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def sessionize(spark, sf_dir) -> DataFrame:
     """Gap-based sessionization (30-min inactivity closes a session):
     lag(ts) per user → new-session flag → running sum = session index.

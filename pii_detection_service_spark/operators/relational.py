@@ -216,6 +216,28 @@ def window_topn_per_group(spark, sf_dir) -> DataFrame:
     )
 
 
+def rollup_doc_counts(spark, sf_dir) -> DataFrame:
+    """ROLLUP over (lang, source): per-combination, per-lang subtotal, and
+    grand total in ONE pass (Spark expands grouping sets before the
+    exchange, so partial aggregation still applies — no extra shuffle vs a
+    plain groupBy). Nulls from the rollup are coalesced to 'ALL' so the
+    oracle compare is stable."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            "n",
+            "total_chars",
+        )
+    )
+
+
 def validated_coalesce(spark, sf_dir) -> DataFrame:
     """The reference's `validated_labels ?? labels` choice
     (backend_service_app.py:265-269) as native coalesce over documents

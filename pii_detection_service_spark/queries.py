@@ -507,6 +507,19 @@ ORACLES: dict[str, str | None] = {
                count(*)::BIGINT AS n_events
         FROM g GROUP BY user_id
     """,
+    "events_value_quantiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.25), 6) AS p25,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.75), 6) AS p75,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY event_type
+    """,
+    "rollup_doc_counts": """
+        SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+               count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS total_chars
+        FROM documents GROUP BY ROLLUP (lang, source)
+    """,
     # --- corpus statistics ---
     "tfidf_top_terms": """
         WITH w AS (
@@ -583,6 +596,8 @@ SPARK_BUILDERS = {
     "join_brand_revenue": joins.brand_revenue,
     "events_props_json": events.props_json,
     "events_sessionize": events.sessionize,
+    "events_value_quantiles": events.value_quantiles,
+    "rollup_doc_counts": relational.rollup_doc_counts,
     "tfidf_top_terms": textstats.tfidf_top_terms,
     "pipeline_score_documents": pipeline.score_documents,
     "pipeline_predict_documents": pipeline.predict_documents,
