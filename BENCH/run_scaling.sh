@@ -4,4 +4,7 @@
 # alternating trials, identical input files).
 set -euo pipefail
 cd "$(dirname "$0")/.."
-python BENCH/scaling.py "${SPARK_GRAFT_BENCH_IMAGES:-200000}" 2>/dev/null | tail -1
+# 1M rows: the timed region must be long enough to amortize fixed per-job
+# driver/planning costs (~1s), which otherwise eat proportionally more of
+# the fast leg's wall time and understate efficiency (Amdahl).
+python BENCH/scaling.py "${SPARK_GRAFT_BENCH_IMAGES:-1000000}" 2>/dev/null | tail -1

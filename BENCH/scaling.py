@@ -44,8 +44,8 @@ def make_spark(cores: int):
     )
 
 
-def one_leg(cores: int, cache: str) -> float:
-    """Return best-of-TRIALS images/sec for the scoring stage at `cores`."""
+def one_trial(cores: int, cache: str) -> float:
+    """Run ONE timed trial at `cores` in this process; return images/sec."""
     from pii_detection_service_spark.plans import stage
 
     spark = make_spark(cores)
@@ -55,33 +55,36 @@ def one_leg(cores: int, cache: str) -> float:
         lambda it: (p for p in it), schema="id long"
     ).count()
     src = spark.read.parquet(cache)
-    best = 0.0
-    n = 0
+    # warm the OS page cache so neither leg pays the cold read
+    src.count()
     import pyspark.sql.functions as F
 
-    for _ in range(TRIALS):
-        t0 = time.monotonic()
-        # aggregate over SCORED columns: a bare count() would let Catalyst
-        # prune the row-preserving scoring UDF out of the plan entirely
-        # (mapInPandas could not be pruned; a scalar pandas_udf can)
-        row = (
-            stage.score(stage.with_bucket(src, 64))
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("keep").cast("long")).alias("kept"),
-                F.sum("n_pii").alias("pii"),
-            )
-            .collect()[0]
+    t0 = time.monotonic()
+    # aggregate over SCORED columns: a bare count() would let Catalyst
+    # prune the row-preserving scoring UDF out of the plan entirely
+    # (mapInPandas could not be pruned; a scalar pandas_udf can)
+    row = (
+        stage.score(stage.with_bucket(src, 64))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+            F.sum("n_pii").alias("pii"),
         )
-        n = row["n"]
-        assert 0 < row["kept"] < n  # scoring really ran
-        ips = n / (time.monotonic() - t0)
-        best = max(best, ips)
+        .collect()[0]
+    )
+    n = row["n"]
+    assert 0 < row["kept"] < n  # scoring really ran
+    ips = n / (time.monotonic() - t0)
     spark.stop()
-    return round(best, 1)
+    return round(ips, 1)
 
 
 def main():
+    if sys.argv[1:2] == ["--trial"]:
+        # subprocess mode: one trial, one JVM, print ips
+        print(one_trial(int(sys.argv[2]), sys.argv[3]))
+        return
+
     n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     cache = f"/tmp/spark_graft_bench_images_v3_{n_images}.parquet"
     if not os.path.isdir(cache):
@@ -94,8 +97,25 @@ def main():
         ).parquet(cache)
         spark.stop()
 
-    ips_n = one_leg(N_CORES, cache)
-    ips_4n = one_leg(N4_CORES, cache)
+    # ALTERNATE legs trial by trial (fresh subprocess each) so slow
+    # environmental drift — page cache, CPU contention from neighbors —
+    # lands on both legs symmetrically instead of biasing whichever leg
+    # happens to run later. Best-of per leg as before.
+    import subprocess
+
+    here = os.path.abspath(__file__)
+    best = {N_CORES: 0.0, N4_CORES: 0.0}
+    for _ in range(TRIALS):
+        for cores in (N_CORES, N4_CORES):
+            out = subprocess.run(
+                [sys.executable, here, "--trial", str(cores), cache],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.dirname(here)),
+            )
+            ips = float(out.stdout.strip().splitlines()[-1])
+            best[cores] = max(best[cores], ips)
+    ips_n, ips_4n = best[N_CORES], best[N4_CORES]
     eff = round(ips_4n / ips_n / (N4_CORES / N_CORES), 3)
 
     result = {
@@ -120,7 +140,11 @@ def main():
             "input files, two parallelism levels, best of "
             f"{TRIALS} alternating trials per leg\n"
             "(sandbox shows ~2x run-to-run CPU-contention noise; best-of isolates\n"
-            "job capability). Legs stay below the 32-CPU box capacity because an\n"
+            "job capability). Legs alternate trial-by-trial in fresh subprocesses\n"
+            "with a pre-warmed page cache, so environment drift lands on both legs\n"
+            "symmetrically; the 1M-row timed region amortizes fixed per-job\n"
+            "driver/planning costs that otherwise understate the fast leg.\n"
+            "Legs stay below the 32-CPU box capacity because an\n"
             "Arrow pipeline schedules a JVM thread + a Python worker per task —\n"
             "local[32] would measure machine saturation, not job scaling.\n\n"
             "| parallelism | images/sec |\n|---|---|\n"
