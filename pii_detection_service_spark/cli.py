@@ -1,8 +1,9 @@
 """spark-submit entrypoint for the flagship stage.
 
-Usage (cluster):
+Usage (cluster — spark-submit runs a script, not a module; the launcher
+script imports this CLI and the package rides in --py-files):
     spark-submit --py-files pii_detection_service_spark.zip \
-        -m pii_detection_service_spark.cli \
+        tools/submit_stage.py \
         --source /path/to/images_table --out /path/to/out \
         --buckets 4096 --salt 16
 

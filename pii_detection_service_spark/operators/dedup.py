@@ -117,6 +117,12 @@ def connected_components(
     directions for undirected graphs. Returns (doc_id, cluster_id).
     """
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster")).cache()
+    # Convergence via checksum: every propagation step can only LOWER a
+    # node's label (min of self and neighbors), so sum(cluster) strictly
+    # decreases until the fixpoint. Comparing consecutive sums replaces a
+    # per-round comparison join+count with one scalar aggregate that also
+    # materializes the round's cache — one job per round total.
+    checksum = labels.agg(F.sum("cluster")).collect()[0][0]
     for _ in range(max_iters):
         msgs = edges.join(
             labels, edges["b"] == labels["doc_id"]
@@ -127,17 +133,12 @@ def connected_components(
             .agg(F.min("cluster").alias("cluster"))
             .cache()
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("cluster", "old_cluster"), "doc_id"
-            )
-            .where(F.col("cluster") != F.col("old_cluster"))
-            .count()
-        )
+        new_checksum = new_labels.agg(F.sum("cluster")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_checksum == checksum:
             break
+        checksum = new_checksum
     return labels
 
 
