@@ -33,6 +33,57 @@ def score_stream(stream_df: DataFrame) -> DataFrame:
     return scored.select(*stream_df.columns, "_scored.*")
 
 
+SESSION_OUT_SCHEMA = "user_id long, n_sessions long, n_events long"
+SESSION_STATE_SCHEMA = "last_ts_us long, n_sessions long, n_events long"
+
+
+def sessionize_stream(events_stream: DataFrame, gap_min: int = 30) -> DataFrame:
+    """Stateful streaming sessionization via applyInPandasWithState: the
+    per-user state (last event time, session count, event count) survives
+    across micro-batches through the checkpoint, so a restarted stream
+    continues counting instead of starting over. Same gap rule as the
+    batch `operators.events.sessionize` (microsecond-exact); each batch
+    emits the user's cumulative counts (output mode `update`).
+
+    Ordering contract: rows within a micro-batch are sorted here; ACROSS
+    batches the source must deliver a user's events in time order (true
+    for time-partitioned ingest, the normal case for event logs)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_min * 60 * 1_000_000
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        parts = [pdf[["ts", "event_id"]] for pdf in pdfs]
+        batch = pd.concat(parts).sort_values(["ts", "event_id"])
+        for t_us in (batch["ts"].astype("int64") // 1000).tolist():
+            if last_ts is None or t_us - last_ts > gap_us:
+                n_sessions += 1
+            last_ts = t_us
+            n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSION_OUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_quality_metrics(
     scored_stream: DataFrame,
     ts_col: str = "ingest_ts",

@@ -62,6 +62,57 @@ def test_score_stream_matches_batch(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == 70
 
 
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization across MULTIPLE micro-batches
+    (state carried through the checkpoint) equals the batch window-based
+    sessionize on the same events."""
+    from pii_detection_service_spark.operators import events as ev_ops
+
+    src_dir = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ck")
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    # time-split into two files written in order → per-user time order
+    # holds across micro-batches (maxFilesPerTrigger=1 forces 2 batches)
+    ts_sorted = sorted(r["ts"] for r in ev.select("ts").collect())
+    mid_ts = ts_sorted[len(ts_sorted) // 2]
+    first = ev.where(F.col("ts") <= F.lit(mid_ts))
+    second = ev.where(F.col("ts") > F.lit(mid_ts))
+    first.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    second.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        streaming.sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess_state")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 2  # state really crossed micro-batches
+
+    # last emitted row per user = cumulative totals
+    final = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in spark.sql(
+            "select user_id, max_by(n_sessions, n_events) as n_sessions, "
+            "max(n_events) as n_events from sess_state group by user_id"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in ev_ops.sessionize(spark, sf).collect()
+    }
+    assert final == want
+
+
 def test_windowed_quality_metrics_matches_batch(spark, tmp_path):
     """Watermarked tumbling-window rollup over the scored stream equals the
     same aggregate computed in batch (complete mode → memory sink)."""
