@@ -234,11 +234,36 @@ def find_toxic_spans(text: str, pii_spans) -> list[tuple[int, int, str]]:
     return out
 
 
+# any char that lets a rule fire: trailing punct to peel, digits/@ for the
+# PII regexes (\d — Unicode-aware, matching exactly what PHONE/ID/ADDRESS
+# can match), uppercase for the gazetteer
+_TRIGGER_RE = re.compile(r"[.,!?;:@A-Z]|\d")
+
+
+def _is_plain(text: str) -> bool:
+    """True when NO tagger rule can fire: no trailing punctuation to peel,
+    no character any PII regex requires (digits, '@', uppercase for
+    gazetteer names), no url/handle substring, no toxic substring. Each
+    check is a strict necessary condition of the rule it gates, so the
+    fast path is bit-identical to the full path (property-tested)."""
+    if _TRIGGER_RE.search(text) is not None:
+        return False
+    if "http" in text or "www." in text or "u/" in text:
+        return False
+    lower = text.lower()
+    return not any(w in lower for w in TOXIC_WORDS)
+
+
 def tag_and_scrub(text: str) -> tuple[list[str], list[str], str, int, int]:
     """Fused tag + scrub: tokenization and span search run ONCE (the Arrow
     UDF hot path). Returns (tokens, labels, scrubbed, n_pii, n_toxic);
     tokens/labels/PII-scrub identical to calling tag() and scrub(), with
     toxicity masking applied on top of the PII splice."""
+    if _is_plain(text):
+        # str.split() == \S+ finditer when nothing needs peeling; no rule
+        # can produce a span, so labels are all O and text is untouched
+        toks_fast = text.split()
+        return toks_fast, ["O"] * len(toks_fast), text, 0, 0
     toks = word_tokenize(text)
     spans = find_pii_spans(text, toks)
     toxic = find_toxic_spans(text, spans)

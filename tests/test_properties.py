@@ -64,6 +64,9 @@ def test_scrub_idempotent_on_clean_text(text):
         assert scrubbed == text  # byte equality invariant (PII scrub)
     toks, labels, scrubbed2, n2, n_toxic = tagger.tag_and_scrub(text)
     assert n2 == n  # fused finds the same PII spans
+    # the fused (incl. its plain fast path) must match tag() exactly
+    ref_toks, ref_labels = tagger.tag(text)
+    assert toks == ref_toks and labels == ref_labels
     if n_toxic == 0:
         assert scrubbed2 == scrubbed  # fused == separate when no toxicity
     else:
