@@ -195,7 +195,8 @@ def simhash(spark, sf_dir) -> DataFrame:
 def jaccard_pairs(spark, sf_dir) -> DataFrame:
     """Exact n-gram Jaccard verification over blocked candidate pairs.
     Blocking on (lang, source) bounds the self-join; top pairs returned
-    deterministically (rounded score, then ids)."""
+    deterministically (score, then ids; the rational score is unrounded —
+    identical doubles in every engine)."""
     d = table(spark, sf_dir, "documents").where(F.length("text") >= 3)
     sh = d.select(
         "doc_id", "lang", "source", F.expr(_CHAR_SHINGLES).alias("shingles")
@@ -208,10 +209,8 @@ def jaccard_pairs(spark, sf_dir) -> DataFrame:
         & (F.col("a.source") == F.col("b.source"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
-    jac = F.round(
-        F.size(F.array_intersect("a.shingles", "b.shingles"))
-        / F.size(F.array_union("a.shingles", "b.shingles")),
-        4,
+    jac = F.size(F.array_intersect("a.shingles", "b.shingles")) / F.size(
+        F.array_union("a.shingles", "b.shingles")
     )
     return (
         pairs.select(

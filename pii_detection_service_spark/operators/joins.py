@@ -49,9 +49,7 @@ def region_rollup(spark, sf_dir) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.sum(bal).cast("double").alias("sum_acctbal"),
-            F.round(F.sum(bal).cast("double") / F.count(F.lit(1)), 4).alias(
-                "avg_acctbal"
-            ),
+            (F.sum(bal).cast("double") / F.count(F.lit(1))).alias("avg_acctbal"),
         )
     )
 
@@ -136,7 +134,7 @@ def salted_skew_join(spark, sf_dir) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.sum(w_chars.cast("decimal(18,2)")).cast("double"), 2).alias(
+            F.sum(w_chars.cast("decimal(18,2)")).cast("double").alias(
                 "weighted_chars"
             ),
         )

@@ -100,7 +100,7 @@ def group_metrics(spark, sf_dir) -> DataFrame:
         .groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.avg("n_chars").alias("avg_chars"),
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
         )
@@ -115,9 +115,10 @@ def fbeta_drift(spark, sf_dir) -> DataFrame:
     p = F.col("n_chars") % 13
     tp = F.sum(F.when(t == p, 1).otherwise(0))
     mism = F.sum(F.when(t != p, 1).otherwise(0))
-    f5 = F.round(
-        (26.0 * tp) / (26.0 * tp + 25.0 * mism + mism), 6
-    )
+    # unrounded: purely rational — bit-identical across engines, and SQL
+    # round() itself diverges on exact decimal halves (Spark HALF_UP on the
+    # shortest repr vs DuckDB scaled nearbyint)
+    f5 = (26.0 * tp) / (26.0 * tp + 25.0 * mism + mism)
     return (
         table(spark, sf_dir, "documents")
         .groupBy("lang")
@@ -146,7 +147,7 @@ def lineitem_pricing(spark, sf_dir) -> DataFrame:
             F.sum(price * (F.lit(1.0).cast("decimal(18,4)") - disc))
             .cast("double")
             .alias("sum_disc_price"),
-            F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 4).alias("avg_qty"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -163,7 +164,7 @@ def events_hourly(spark, sf_dir) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(val).cast("double") / F.count(F.lit(1)), 4).alias("avg_value"),
+            (F.sum(val).cast("double") / F.count(F.lit(1))).alias("avg_value"),
         )
     )
 

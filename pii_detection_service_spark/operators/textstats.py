@@ -51,8 +51,11 @@ def quality_score(spark, sf_dir) -> DataFrame:
         "transform(array_distinct(split(text, ' ')), "
         "w -> size(filter(split(text, ' '), x -> x = w)))"
     )
-    sym_ratio = F.round(n_sym / n_chars, 6)
-    top_ratio = F.round(F.array_max(counts) / n_words, 6)
+    # ratios stay UNROUNDED: they are rational (int/int division, identical
+    # IEEE doubles in every engine); SQL round() diverges cross-engine on
+    # exact decimal halves (e.g. odd/128), so rounding would break parity
+    sym_ratio = n_sym / n_chars
+    top_ratio = F.array_max(counts) / n_words
     entropy = F.round(
         -F.expr(
             "aggregate(transform(array_distinct(split(text, ' ')), "
@@ -193,7 +196,7 @@ def fbeta_arrays(spark, sf_dir) -> DataFrame:
     ex = d.select("doc_id", "lang", F.explode(pairs).alias("pair"))
     tp = F.sum(F.when(F.col("pair.t") == F.col("pair.p"), 1).otherwise(0))
     mism = F.sum(F.when(F.col("pair.t") != F.col("pair.p"), 1).otherwise(0))
-    f5 = F.round((26.0 * tp) / (26.0 * tp + 25.0 * mism + mism), 6)
+    f5 = (26.0 * tp) / (26.0 * tp + 25.0 * mism + mism)
     return ex.groupBy("lang").agg(
         tp.alias("tp"), mism.alias("mism"), f5.alias("f5"), (f5 < 0.8).alias("drifting")
     )

@@ -9,9 +9,18 @@ Portability rules used throughout (verified empirically against DuckDB 1.0
 and Spark 4.1):
 - rolling hash `(acc*31 + ascii(c)) % 1e9+7` folds identically
   (Spark `aggregate` / DuckDB `list_reduce` are both sequential left folds);
-- float sums are done in DOUBLE with identical fold order, then rounded;
 - decimal casts make big SUMs shuffle-order-independent and exact;
-- counts are cast so INT/BIGINT widths agree across engines.
+- counts are cast so INT/BIGINT widths agree across engines;
+- PURELY RATIONAL outputs (divisions of exact sums/counts) are emitted
+  UNROUNDED: both engines produce bit-identical IEEE doubles, and SQL
+  round() itself diverges cross-engine on exact decimal halves (Spark
+  rounds the shortest decimal repr HALF_UP; DuckDB scales and nearbyints —
+  e.g. round(47.25375, 4) → 47.2538 vs 47.2537). The driver/check_oracle
+  normalization handles display rounding;
+- TRANSCENDENTAL outputs (ln/sqrt/interpolation) stay rounded to 4-6
+  digits: libm may differ in the last ulp across engines, and rounding
+  collapses that noise (a rounded half-way landing would need the ulp
+  difference to straddle a boundary — vanishing for non-exact decimals).
 """
 
 from __future__ import annotations
@@ -98,19 +107,19 @@ WITH base AS (
 SELECT doc_id,
        n_chars::INTEGER AS len_chars,
        n_words,
-       round(n_sym / n_chars, 6) AS symbol_ratio,
-       round(list_max(counts) / n_words, 6) AS top_word_ratio,
+       n_sym / n_chars AS symbol_ratio,
+       list_max(counts) / n_words AS top_word_ratio,
        round(-list_reduce(list_prepend(0.0::DOUBLE,
              list_transform(counts, c2 -> (c2 / len(words)) * ln(c2 / len(words)))),
              (a, x) -> a + x), 6) AS word_entropy,
        (n_chars >= 10 AND n_chars <= 2048 AND n_words >= 3
-        AND round(n_sym / n_chars, 6) <= 0.3
-        AND round(list_max(counts) / n_words, 6) <= 0.5) AS keep,
+        AND n_sym / n_chars <= 0.3
+        AND list_max(counts) / n_words <= 0.5) AS keep,
        CASE WHEN n_chars < 10 THEN 'too_short'
             WHEN n_chars > 2048 THEN 'too_long'
             WHEN n_words < 3 THEN 'too_few_words'
-            WHEN round(n_sym / n_chars, 6) > 0.3 THEN 'symbol_heavy'
-            WHEN round(list_max(counts) / n_words, 6) > 0.5 THEN 'repetitive'
+            WHEN n_sym / n_chars > 0.3 THEN 'symbol_heavy'
+            WHEN list_max(counts) / n_words > 0.5 THEN 'repetitive'
             ELSE '' END AS drop_reason
 FROM c
 """
@@ -191,14 +200,14 @@ ORACLES: dict[str, str | None] = {
     """,
     "g3_group_metrics": """
         SELECT lang, source, count(*)::BIGINT AS n,
-               round(avg(n_chars), 4) AS avg_chars,
+               avg(n_chars) AS avg_chars,
                min(n_chars) AS min_chars, max(n_chars) AS max_chars
         FROM documents GROUP BY lang, source
     """,
     "g1_fbeta_drift": """
         SELECT lang, tp::BIGINT AS tp, mism::BIGINT AS mism,
-               round((26.0 * tp) / (26.0 * tp + 25.0 * mism + mism), 6) AS f5,
-               round((26.0 * tp) / (26.0 * tp + 25.0 * mism + mism), 6) < 0.8 AS drifting
+               (26.0 * tp) / (26.0 * tp + 25.0 * mism + mism) AS f5,
+               (26.0 * tp) / (26.0 * tp + 25.0 * mism + mism) < 0.8 AS drifting
         FROM (SELECT lang,
                      sum(CASE WHEN doc_id % 13 = n_chars % 13 THEN 1 ELSE 0 END) AS tp,
                      sum(CASE WHEN doc_id % 13 <> n_chars % 13 THEN 1 ELSE 0 END) AS mism
@@ -216,7 +225,7 @@ ORACLES: dict[str, str | None] = {
                CAST(sum(l_extendedprice::DECIMAL(18,2) *
                         (1.0::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) AS DOUBLE)
                     AS sum_disc_price,
-               round(CAST(sum(l_quantity::DECIMAL(18,2)) AS DOUBLE) / count(*), 4) AS avg_qty,
+               CAST(sum(l_quantity::DECIMAL(18,2)) AS DOUBLE) / count(*) AS avg_qty,
                count(*)::BIGINT AS n
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -225,7 +234,7 @@ ORACLES: dict[str, str | None] = {
     "events_hourly": """
         SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
                count(*)::BIGINT AS n,
-               round(CAST(sum(value::DECIMAL(18,6)) AS DOUBLE) / count(*), 4) AS avg_value
+               CAST(sum(value::DECIMAL(18,6)) AS DOUBLE) / count(*) AS avg_value
         FROM events GROUP BY 1, 2
     """,
     # --- text analysis ---
@@ -335,8 +344,8 @@ ORACLES: dict[str, str | None] = {
     "dedup_jaccard_pairs": (
         "WITH sh AS (" + _SHINGLES_CTE + ") "
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-        "round(len(list_intersect(a.shingles, b.shingles)) / "
-        "len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jac "
+        "len(list_intersect(a.shingles, b.shingles)) / "
+        "len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac "
         "FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source "
         "AND a.doc_id < b.doc_id "
         "ORDER BY jac DESC, doc_a, doc_b LIMIT 200"
@@ -425,15 +434,15 @@ ORACLES: dict[str, str | None] = {
           FROM ex GROUP BY lang
         )
         SELECT lang, tp::BIGINT AS tp, mism::BIGINT AS mism,
-               round((26.0 * tp) / (26.0 * tp + 25.0 * mism + mism), 6) AS f5,
-               round((26.0 * tp) / (26.0 * tp + 25.0 * mism + mism), 6) < 0.8 AS drifting
+               (26.0 * tp) / (26.0 * tp + 25.0 * mism + mism) AS f5,
+               (26.0 * tp) / (26.0 * tp + 25.0 * mism + mism) < 0.8 AS drifting
         FROM agg
     """,
     # --- join family (§2.3: every strategy the 100 TB plan relies on) ---
     "join_region_rollup": """
         SELECT r_name, count(*)::BIGINT AS n_customers,
                CAST(sum(c_acctbal::DECIMAL(18,2)) AS DOUBLE) AS sum_acctbal,
-               round(CAST(sum(c_acctbal::DECIMAL(18,2)) AS DOUBLE) / count(*), 4)
+               CAST(sum(c_acctbal::DECIMAL(18,2)) AS DOUBLE) / count(*)
                    AS avg_acctbal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
@@ -473,7 +482,7 @@ ORACLES: dict[str, str | None] = {
         "WITH dim(lang, weight) AS (VALUES "
         + ", ".join(f"('{l}', {w})" for l, w in joins.LANG_DIM)
         + ") SELECT d.lang, count(*)::BIGINT AS n_docs, "
-        "round(CAST(sum((n_chars * weight)::DECIMAL(18,2)) AS DOUBLE), 2) "
+        "CAST(sum((n_chars * weight)::DECIMAL(18,2)) AS DOUBLE) "
         "AS weighted_chars "
         "FROM documents d JOIN dim ON d.lang = dim.lang GROUP BY d.lang"
     ),
