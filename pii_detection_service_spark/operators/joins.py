@@ -141,6 +141,32 @@ def salted_skew_join(spark, sf_dir) -> DataFrame:
     )
 
 
+# Dictionary for the gazetteer-join demo: terms that occur in the testdata
+# vocabulary (the tagger's own name gazetteer plays this role over captions;
+# the join SHAPE is identical — tiny broadcast dim filtering exploded words).
+GAZETTEER_TERMS = ("join", "hash", "merge", "broadcast", "shuffle", "spark")
+
+
+def gazetteer_name_hits(spark, sf_dir) -> DataFrame:
+    """SURVEY §2.3(a): broadcast join of text against a GAZETTEER table —
+    the native alternative to the in-UDF name set the tagger uses. Words
+    explode, the (tiny, broadcast) dim filters them, and hits aggregate
+    per document. At 100 TB the gazetteer stays broadcast-sized while the
+    exploded fact side never shuffles before the join."""
+    d = table(spark, sf_dir, "documents")
+    names = spark.createDataFrame(
+        [(n,) for n in sorted(GAZETTEER_TERMS)], "name string"
+    )
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    hits = words.join(F.broadcast(names), words.w == names.name)
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_name_hits"),
+        F.concat_ws(",", F.array_sort(F.collect_set("w"))).alias("names_joined"),
+    )
+
+
 def brand_revenue(spark, sf_dir) -> DataFrame:
     """lineitem ⋈ part (mid-size dim, broadcast) → revenue per brand. The
     dim is big enough that auto-broadcast depends on stats; we pin it, since

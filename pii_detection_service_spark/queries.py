@@ -495,6 +495,16 @@ ORACLES: dict[str, str | None] = {
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
     """,
+    "join_gazetteer_hits": (
+        "WITH names(name) AS (VALUES "
+        + ", ".join(f"('{n}')" for n in sorted(joins.GAZETTEER_TERMS))
+        + "), "
+        "w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w "
+        "FROM documents) "
+        "SELECT doc_id, count(*)::BIGINT AS n_name_hits, "
+        "array_to_string(list_sort(list_distinct(list(w))), ',') AS names_joined "
+        "FROM w JOIN names ON w.w = names.name GROUP BY doc_id"
+    ),
     # --- event analytics ---
     "events_props_json": """
         SELECT event_type, count(*)::BIGINT AS n,
@@ -603,6 +613,7 @@ SPARK_BUILDERS = {
     "join_anti_inactive": joins.anti_join_inactive,
     "join_salted_skew": joins.salted_skew_join,
     "join_brand_revenue": joins.brand_revenue,
+    "join_gazetteer_hits": joins.gazetteer_name_hits,
     "events_props_json": events.props_json,
     "events_sessionize": events.sessionize,
     "events_value_quantiles": events.value_quantiles,
