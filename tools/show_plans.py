@@ -43,6 +43,7 @@ def main():
         "g1_fbeta_arrays",
         "lineitem_pricing",
         "join_region_rollup",
+        "join_gazetteer_hits",
         "join_shipping_priority",
         "join_salted_skew",
         "join_anti_inactive",
