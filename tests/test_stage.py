@@ -108,6 +108,25 @@ def test_run_stage_and_resume(spark, src, tmp_path):
     assert spark.read.parquet(os.path.join(out, "lineage")).count() == 8
 
 
+def test_bucket_filter_prunes_partitions_on_read(spark, src, tmp_path):
+    """Reading the stage output with a bucket predicate must prune at the
+    PARTITION level (PartitionFilters in the scan, not a row filter over
+    all files) — this is what makes the resume NOT-IN filter metadata-only
+    over a bucket-partitioned table."""
+    out = str(tmp_path / "prune_out")
+    stage.run_stage(spark, src, out, n_buckets=8, salt_factor=2)
+    read = spark.read.parquet(os.path.join(out, "data")).where("bucket = 3")
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "(bucket" in plan.split("PartitionFilters")[1][:80]
+    # and the NOT-IN resume shape prunes the same way
+    anti = spark.read.parquet(os.path.join(out, "data")).where(
+        ~F.col("bucket").isin([0, 1, 2])
+    )
+    aplan = anti._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in aplan
+    assert anti.select("bucket").distinct().count() == 5
+
+
 def test_resume_processes_only_missing_buckets(spark, src, tmp_path):
     out = str(tmp_path / "partial_out")
     # simulate a crashed run: process only buckets 0-3 by pre-marking 4-7 done
