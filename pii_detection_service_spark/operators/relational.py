@@ -239,6 +239,27 @@ def rollup_doc_counts(spark, sf_dir) -> DataFrame:
     )
 
 
+def set_ops_sources(spark, sf_dir) -> DataFrame:
+    """§2.6 set operations in one result: per-op distinct-source counts for
+    UNION / INTERSECT / EXCEPT between the English and Spanish slices.
+    Distinct variants (not *All) — the relational set semantics."""
+    d = table(spark, sf_dir, "documents")
+    en = d.where(F.col("lang") == "en").select("source")
+    es = d.where(F.col("lang") == "es").select("source")
+
+    def tagged(name: str, df: DataFrame) -> DataFrame:
+        return df.distinct().groupBy().agg(
+            F.lit(name).alias("op"), F.count(F.lit(1)).alias("n_sources")
+        )
+
+    return (
+        tagged("union", en.union(es))
+        .unionAll(tagged("intersect", en.intersect(es)))
+        .unionAll(tagged("except", en.subtract(es)))  # EXCEPT DISTINCT
+        .select("op", "n_sources")
+    )
+
+
 def validated_coalesce(spark, sf_dir) -> DataFrame:
     """The reference's `validated_labels ?? labels` choice
     (backend_service_app.py:265-269) as native coalesce over documents

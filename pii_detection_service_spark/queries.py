@@ -213,6 +213,19 @@ ORACLES: dict[str, str | None] = {
                      sum(CASE WHEN doc_id % 13 <> n_chars % 13 THEN 1 ELSE 0 END) AS mism
               FROM documents GROUP BY lang) t
     """,
+    "set_ops_sources": """
+        SELECT 'union' AS op, count(*)::BIGINT AS n_sources FROM (
+          SELECT source FROM documents WHERE lang = 'en'
+          UNION SELECT source FROM documents WHERE lang = 'es')
+        UNION ALL
+        SELECT 'intersect', count(*)::BIGINT FROM (
+          SELECT source FROM documents WHERE lang = 'en'
+          INTERSECT SELECT source FROM documents WHERE lang = 'es')
+        UNION ALL
+        SELECT 'except', count(*)::BIGINT FROM (
+          SELECT source FROM documents WHERE lang = 'en'
+          EXCEPT SELECT source FROM documents WHERE lang = 'es')
+    """,
     "validated_coalesce": """
         SELECT doc_id,
                coalesce(CASE WHEN n_chars % 3 = 0 THEN source END, lang) AS effective_label
@@ -582,6 +595,7 @@ SPARK_BUILDERS = {
     "g3_group_metrics": relational.group_metrics,
     "g1_fbeta_drift": relational.fbeta_drift,
     "validated_coalesce": relational.validated_coalesce,
+    "set_ops_sources": relational.set_ops_sources,
     "lineitem_pricing": relational.lineitem_pricing,
     "events_hourly": relational.events_hourly,
     "langid_stopword": textstats.langid_stopword,
