@@ -59,8 +59,14 @@ def score(df: DataFrame) -> DataFrame:
 
 
 def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
-    """North rule: explicit partitioning on phash-derived buckets."""
-    return df.withColumn("bucket", F.pmod(F.col("phash"), F.lit(n_buckets)).cast("int"))
+    """North rule: explicit partitioning on phash-derived buckets.
+
+    Null-safe: a NULL phash falls back to hashing image_id. Without this,
+    null rows land in the hive default partition AND the resume filter
+    `NOT bucket IN (done)` evaluates to NULL for them — they would be
+    silently dropped from every resumed run (tested)."""
+    key = F.coalesce(F.col("phash"), F.xxhash64("image_id"))
+    return df.withColumn("bucket", F.pmod(key, F.lit(n_buckets)).cast("int"))
 
 
 def completed_buckets(spark: SparkSession, lineage_dir: str) -> DataFrame:

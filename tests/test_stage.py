@@ -108,6 +108,33 @@ def test_run_stage_and_resume(spark, src, tmp_path):
     assert spark.read.parquet(os.path.join(out, "lineage")).count() == 8
 
 
+def test_null_tolerant_source_and_null_safe_buckets(spark, tmp_path):
+    """input_hint sources may carry nulls (caption/fmt/phash). The stage
+    must process every row, and NULL phash must NOT produce a NULL bucket:
+    the hive default partition breaks the resume NOT-IN filter (NULL
+    predicate → row silently dropped from resumed runs)."""
+    from pii_detection_service_spark.sources import synth
+
+    df = synth.synth_spark(spark, 50)
+    df = df.withColumn(
+        "caption", F.when(F.col("phash") % 5 == 0, None).otherwise(F.col("caption"))
+    ).withColumn(
+        "fmt", F.when(F.col("phash") % 7 == 0, None).otherwise(F.col("fmt"))
+    ).withColumn(
+        "phash", F.when(F.col("phash") % 11 == 0, None).otherwise(F.col("phash"))
+    )
+    assert df.where(F.col("phash").isNull()).count() > 0  # nulls planted
+    out = str(tmp_path / "null_out")
+    m = stage.run_stage(spark, df, out, n_buckets=4, salt_factor=2)
+    assert m["rows"] == 50
+    dirs = os.listdir(os.path.join(out, "data"))
+    assert not any("HIVE_DEFAULT" in d for d in dirs)
+    # resumed run is a clean no-op — null-phash rows are NOT re-pending
+    m2 = stage.run_stage(spark, df, out, n_buckets=4, salt_factor=2)
+    assert m2["resumed_noop"]
+    assert spark.read.parquet(os.path.join(out, "data")).count() == 50
+
+
 def test_bucket_filter_prunes_partitions_on_read(spark, src, tmp_path):
     """Reading the stage output with a bucket predicate must prune at the
     PARTITION level (PartitionFilters in the scan, not a row filter over
