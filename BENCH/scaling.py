@@ -113,7 +113,19 @@ def main():
                 text=True,
                 cwd=os.path.dirname(os.path.dirname(here)),
             )
-            ips = float(out.stdout.strip().splitlines()[-1])
+            if out.returncode != 0:
+                raise RuntimeError(
+                    f"trial at {cores} cores exited {out.returncode}; "
+                    f"stderr tail:\n{out.stderr[-2000:]}"
+                )
+            lines = out.stdout.strip().splitlines()
+            try:
+                ips = float(lines[-1])
+            except (IndexError, ValueError) as e:
+                raise RuntimeError(
+                    f"trial at {cores} cores produced unparseable stdout "
+                    f"{lines[-3:]!r}; stderr tail:\n{out.stderr[-2000:]}"
+                ) from e
             best[cores] = max(best[cores], ips)
     ips_n, ips_4n = best[N_CORES], best[N4_CORES]
     eff = round(ips_4n / ips_n / (N4_CORES / N_CORES), 3)

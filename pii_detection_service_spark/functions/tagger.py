@@ -243,15 +243,20 @@ _TRIGGER_RE = re.compile(r"[.,!?;:@A-Z]|\d")
 def _is_plain(text: str) -> bool:
     """True when NO tagger rule can fire: no trailing punctuation to peel,
     no character any PII regex requires (digits, '@', uppercase for
-    gazetteer names), no url/handle substring, no toxic substring. Each
+    gazetteer names), no url/handle substring, no toxic match. Each
     check is a strict necessary condition of the rule it gates, so the
-    fast path is bit-identical to the full path (property-tested)."""
+    fast path is bit-identical to the full path (property-tested).
+
+    The toxic gate is the exact TOXIC_RE itself, NOT a substring check on
+    text.lower(): re.IGNORECASE matches under full Unicode case folding
+    (e.g. U+017F 'ſ' matches 's'), which str.lower() does not reproduce —
+    a lower()-substring gate would skip scrubbing for case-fold homoglyph
+    inputs like 'ſtupid' (regression-tested)."""
     if _TRIGGER_RE.search(text) is not None:
         return False
     if "http" in text or "www." in text or "u/" in text:
         return False
-    lower = text.lower()
-    return not any(w in lower for w in TOXIC_WORDS)
+    return TOXIC_RE.search(text) is None
 
 
 def tag_and_scrub(text: str) -> tuple[list[str], list[str], str, int, int]:

@@ -102,7 +102,10 @@ def minhash_survivors(spark, sf_dir) -> DataFrame:
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iters: int = 20
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iters: int = 50,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation: every node
     starts labeled with its own id; each round, labels flow across edges and
@@ -112,6 +115,17 @@ def connected_components(
     you'd swap in the large-star/small-star variant (same primitive, fewer
     rounds); the per-round plan here is already the right one: one shuffle
     join + one min-aggregate, labels cached between rounds.
+
+    Two guards for deep graphs:
+    - every ``checkpoint_every`` rounds the label table is
+      ``localCheckpoint``-ed (eager), truncating the logical plan — without
+      this the plan tree chains one join+agg per round and Catalyst analysis
+      time grows superlinearly on long chains (tested on a 12-round chain).
+    - if ``max_iters`` is exhausted before the checksum fixpoint the result
+      would silently contain SPLIT clusters, so this raises RuntimeError
+      instead of returning non-converged labels. ``max_iters`` is a safety
+      cap against pathological graphs, not a tuning knob — the default (50)
+      is far above any diameter LSH star-edges produce.
 
     nodes: one column `doc_id`. edges: columns (a, b), directed — pass both
     directions for undirected graphs. Returns (doc_id, cluster_id).
@@ -123,22 +137,34 @@ def connected_components(
     # per-round comparison join+count with one scalar aggregate that also
     # materializes the round's cache — one job per round total.
     checksum = labels.agg(F.sum("cluster")).collect()[0][0]
-    for _ in range(max_iters):
+    converged = False
+    for i in range(max_iters):
         msgs = edges.join(
             labels, edges["b"] == labels["doc_id"]
         ).select(F.col("a").alias("doc_id"), "cluster")
-        new_labels = (
-            labels.unionAll(msgs)
-            .groupBy("doc_id")
-            .agg(F.min("cluster").alias("cluster"))
-            .cache()
+        new_labels = labels.unionAll(msgs).groupBy("doc_id").agg(
+            F.min("cluster").alias("cluster")
         )
+        if (i + 1) % checkpoint_every == 0:
+            # materialize AND truncate lineage (replaces the cache for this
+            # round): the next round's plan starts from the checkpointed
+            # scan, not the i-round join chain.
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.cache()
         new_checksum = new_labels.agg(F.sum("cluster")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
         if new_checksum == checksum:
+            converged = True
             break
         checksum = new_checksum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "returning labels here would silently split clusters — raise "
+            "max_iters (diameter of the dup graph exceeds the cap)"
+        )
     return labels
 
 

@@ -126,16 +126,18 @@ def run_stage(
     # semantically identical and ~5x faster (dynamic stages files and moves
     # them per partition; measured 47s vs 9.7s at 200k rows). On resume,
     # static would delete completed buckets' data — dynamic is required.
-    spark.conf.set(
-        "spark.sql.sources.partitionOverwriteMode",
-        "dynamic" if done_ids else "static",
-    )
+    # Passed as a per-write option (NOT spark.conf.set) so the session-global
+    # partitionOverwriteMode is never mutated — other writes in the same
+    # SparkSession keep whatever mode the user configured.
+    #
     # The data sink is dominated by the bytes column, which is already
     # entropy-coded (PNG/JPEG): recompressing with snappy costs ~2x the
     # whole stage wall time for ~0% size win (measured 94s→45s at 1M rows).
     # Uncompressed applies to THIS write only; tiny lineage/metrics files
     # keep the session default codec.
-    out.write.option("compression", "uncompressed").mode("overwrite").partitionBy(
+    out.write.option(
+        "partitionOverwriteMode", "dynamic" if done_ids else "static"
+    ).option("compression", "uncompressed").mode("overwrite").partitionBy(
         "bucket"
     ).parquet(data_dir)
 

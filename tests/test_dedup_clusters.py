@@ -51,3 +51,38 @@ def test_clusters_refine_survivors(spark):
     # every cluster id is itself a member of the cluster it names
     ids = {r["doc_id"] for r in clus}
     assert {r["cluster_id"] for r in clus} <= ids
+
+
+def _chain(spark, n):
+    """Path graph 1-2-...-n: the min label crosses one hop per round, so
+    convergence needs ~n-1 rounds — the deep-diameter stress case."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+    raw = [(i, i + 1) for i in range(1, n)]
+    edges = spark.createDataFrame(raw + [(b, a) for a, b in raw], "a long, b long")
+    return nodes, edges
+
+
+def test_nonconvergence_raises_instead_of_splitting(spark):
+    """max_iters exhausted before the fixpoint must raise, never silently
+    return split clusters (ADVICE r1)."""
+    import pytest
+
+    nodes, edges = _chain(spark, 8)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(nodes, edges, max_iters=2)
+
+
+def test_deep_chain_converges_with_bounded_plan(spark):
+    """A 15-node path needs ~14 propagation rounds — well past the
+    checkpoint_every=5 lineage truncation. Checks (a) the labels are still
+    exactly one cluster, (b) the returned plan is truncated (starts from the
+    checkpointed scan, not a 14-round join chain)."""
+    nodes, edges = _chain(spark, 15)
+    labels = dedup.connected_components(nodes, edges)
+    got = {r["doc_id"]: r["cluster"] for r in labels.collect()}
+    assert got == {i: 1 for i in range(1, 16)}
+    # lineage truncation: the logical plan must be a handful of nodes (scan
+    # of the checkpointed RDD + at most one round of join/agg), not a plan
+    # that grew linearly with all 14 rounds (~10 lines per round).
+    plan = labels._jdf.queryExecution().analyzed().toString()
+    assert plan.count("\n") < 40, f"plan not truncated:\n{plan[:2000]}"

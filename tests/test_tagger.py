@@ -134,3 +134,15 @@ def test_toxicity_masked_not_dropped():
     _, _, s2, p2, t2 = tagger.tag_and_scrub(both)
     assert p2 == 1 and t2 == 1
     assert s2 == "email [EMAIL] now [TOXIC] it"
+
+
+def test_casefold_homoglyph_toxic_still_scrubbed():
+    """U+017F 'ſ' matches 's' under re.IGNORECASE full case folding, but not
+    under str.lower() — the fast-path gate must not skip scrubbing for it
+    (ADVICE r1: lower()-substring gate let 'ſtupid' through unscrubbed)."""
+    text = "ſtupid thing here"
+    _, _, scrubbed, n_pii, n_toxic = tagger.tag_and_scrub(text)
+    assert n_toxic == 1
+    assert scrubbed == "[TOXIC] thing here"
+    # the fast-path predicate itself must classify it as not-plain
+    assert not tagger._is_plain(text)
