@@ -218,11 +218,63 @@ def simhash(spark, sf_dir) -> DataFrame:
     return d.select("doc_id", sim.alias("simhash16"))
 
 
+def jaccard_candidates(spark, sf_dir) -> DataFrame:
+    """Exact n-gram Jaccard verification restricted to LSH band candidates —
+    the verify-after-candidates wiring a 100 TB dedup actually runs.
+
+    Candidate pairs are the STAR edges of the banded-signature groups that
+    minhash_band_candidates reports: every doc is verified against its
+    band-group minimum (the same doc ↔ grp_min edges dedup_clusters feeds to
+    connected components), NOT against every co-bucketed doc. All-pairs
+    within a band group is quadratic in group size and template-heavy
+    corpora produce mega-groups (measured: 79k pairs from 500 docs at
+    sf0.001, 63% of ALL pairs); star edges are ≤ bands·n rows no matter how
+    skewed the buckets get. The shingle sets are attached afterwards by two
+    doc_id-keyed joins — no shuffle ever carries a shingle array for a
+    non-candidate doc, and the O(block²) shape of jaccard_pairs never
+    appears. Verified-pair count == candidate-edge count, pinned by test."""
+    from pyspark.sql import Window
+
+    sig = minhash_signatures(spark, sf_dir)
+    bands = _band_assignments(sig)
+    w = Window.partitionBy("band", "band_key")
+    star = bands.withColumn("grp_min", F.min("doc_id").over(w))
+    cand = (
+        star.where(F.col("doc_id") != F.col("grp_min"))
+        .select(F.col("grp_min").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()  # an edge sharing several bands is verified once
+    )
+    sh = (
+        table(spark, sf_dir, "documents")
+        .where(F.length("text") >= 3)
+        .select("doc_id", F.expr(_CHAR_SHINGLES).alias("shingles"))
+    )
+    pairs = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+        "doc_b",
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return pairs.select("doc_a", "doc_b", jac.alias("jac")).orderBy(
+        F.col("jac").desc(), "doc_a", "doc_b"
+    )
+
+
 def jaccard_pairs(spark, sf_dir) -> DataFrame:
     """Exact n-gram Jaccard verification over blocked candidate pairs.
     Blocking on (lang, source) bounds the self-join; top pairs returned
     deterministically (score, then ids; the rational score is unrounded —
-    identical doubles in every engine)."""
+    identical doubles in every engine).
+
+    This is the exhaustive-within-block shape (useful as a recall baseline);
+    the scale path is jaccard_candidates, which verifies ONLY pairs the LSH
+    bands propose — at 100× corpus size a single dominant (lang, source)
+    block here self-joins O(block²) pairs, while the candidate set stays
+    linear in the number of true near-dups."""
     d = table(spark, sf_dir, "documents").where(F.length("text") >= 3)
     sh = d.select(
         "doc_id", "lang", "source", F.expr(_CHAR_SHINGLES).alias("shingles")
@@ -250,11 +302,23 @@ def jaccard_pairs(spark, sf_dir) -> DataFrame:
 
 
 def embedding_near_dup(spark, sf_dir) -> DataFrame:
-    """Embedding-cosine near-dup: blocked (by label) brute-force pairs,
-    double-precision cosine, deterministic top-50."""
+    """Embedding-cosine near-dup with sign-LSH bucket blocking: every vector
+    gets a map-only 8-hyperplane bucket (the SAME index ann_search probes —
+    similarity._bucket_sql, anchors inlined as literals, no join/shuffle per
+    vector), then exact double-precision cosine runs only on same-bucket
+    pairs. Candidate count is Σ_b n_b·(n_b−1)/2 over bucket sizes instead of
+    O(n²/L) block pairs — with 2^8 buckets the pair count drops ~100×
+    (pinned by test) and the self-join shuffle is keyed on the bucket id.
+    Vectors whose 8 signs all agree are exactly the sign-LSH near-dup
+    definition; recall vs the brute-force baseline is tolerance-tested in
+    tests/test_approx_scale_paths.py. Deterministic top-50."""
+    from .similarity import _anchor_literals, _bucket_sql
+
+    anchors = _anchor_literals(spark, sf_dir, 8)
     e = (
         table(spark, sf_dir, "embeddings")
-        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("bucket", F.expr(_bucket_sql(anchors)))
     )
     a, b = e.alias("a"), e.alias("b")
     dot = F.expr(
@@ -269,7 +333,7 @@ def embedding_near_dup(spark, sf_dir) -> DataFrame:
     return (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
+            (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(

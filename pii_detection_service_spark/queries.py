@@ -363,12 +363,36 @@ ORACLES: dict[str, str | None] = {
         "AND a.doc_id < b.doc_id "
         "ORDER BY jac DESC, doc_a, doc_b LIMIT 200"
     ),
+    # LSH-candidate-restricted exact verify: the candidate CTE mirrors the
+    # banded-signature groups 1:1, so the oracle verifies both the candidate
+    # generation AND the exact Jaccard on those pairs.
+    "dedup_jaccard_candidates": (
+        "WITH sig AS (" + _MINHASH_SQL + "), bands AS (" + _BANDS_UNION + "), "
+        "pb AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, band_key) "
+        "AS grp_min FROM bands), "
+        "cand AS (SELECT DISTINCT grp_min AS doc_a, doc_id AS doc_b FROM pb "
+        "WHERE doc_id <> grp_min), "
+        "sh AS (" + _SHINGLES_CTE + ") "
+        "SELECT doc_a, doc_b, "
+        "len(list_intersect(a.shingles, b.shingles)) / "
+        "len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac "
+        "FROM cand JOIN sh a ON a.doc_id = cand.doc_a "
+        "JOIN sh b ON b.doc_id = cand.doc_b "
+        "ORDER BY jac DESC, doc_a, doc_b"
+    ),
+    # bucket-blocked exact cosine: the bk CTE mirrors the Spark side's
+    # map-only sign-LSH bucket assignment (similarity._bucket_sql).
     "dedup_embedding_cosine": (
-        "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings) "
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "anch AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id BETWEEN 1 AND 8), "
+        "bk AS (SELECT e.vec_id, sum(CASE WHEN " + _DOT_D.format(u="e.v", v="av")
+        + " > 0 THEN (1::BIGINT << (aid - 1)::INTEGER) ELSE 0::BIGINT END)::BIGINT AS bucket "
+        "FROM e, anch GROUP BY e.vec_id), "
+        "be AS (SELECT bk.vec_id, bk.bucket, e.v FROM bk JOIN e ON bk.vec_id = e.vec_id) "
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
         "round(" + _DOT_D.format(u="a.v", v="b.v") + " / ("
         + _NORM_D.format(u="a.v") + " * " + _NORM_D.format(u="b.v") + "), 4) AS cos "
-        "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id "
+        "FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id "
         "ORDER BY cos DESC, vec_a, vec_b LIMIT 50"
     ),
     # --- similarity search ---
@@ -613,6 +637,7 @@ SPARK_BUILDERS = {
     "window_topn_per_lang": relational.window_topn_per_group,
     "dedup_simhash": dedup.simhash,
     "dedup_jaccard_pairs": dedup.jaccard_pairs,
+    "dedup_jaccard_candidates": dedup.jaccard_candidates,
     "dedup_embedding_cosine": dedup.embedding_near_dup,
     "sim_topk_cosine": similarity.topk_cosine,
     "sim_topk_cosine_fast": similarity.topk_cosine_fast,
