@@ -424,6 +424,22 @@ ORACLES: dict[str, str | None] = {
         "FROM be, q WHERE be.bucket = q.qbucket AND be.vec_id <> 0 "
         "ORDER BY cos DESC, vec_id LIMIT 10"
     ),
+    # multi-probe: same bucketed index, probe predicate widens to Hamming
+    # distance ≤ 1 (bit_count(xor) agrees across engines on BIGINT).
+    "ann_search_multiprobe": (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "anch AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id BETWEEN 1 AND 8), "
+        "bk AS (SELECT e.vec_id, sum(CASE WHEN " + _DOT_D.format(u="e.v", v="av")
+        + " > 0 THEN (1::BIGINT << (aid - 1)::INTEGER) ELSE 0::BIGINT END)::BIGINT AS bucket "
+        "FROM e, anch GROUP BY e.vec_id), "
+        "be AS (SELECT bk.vec_id, bk.bucket, e.v FROM bk JOIN e ON bk.vec_id = e.vec_id), "
+        "q AS (SELECT bucket AS qbucket, v AS qv FROM be WHERE vec_id = 0) "
+        "SELECT be.vec_id, be.bucket, round(" + _DOT_D.format(u="be.v", v="qv")
+        + " / (" + _NORM_D.format(u="be.v") + " * " + _NORM_D.format(u="qv") + "), 4) AS cos "
+        "FROM be, q WHERE bit_count(xor(be.bucket, q.qbucket)) <= 1 "
+        "AND be.vec_id <> 0 "
+        "ORDER BY cos DESC, vec_id LIMIT 10"
+    ),
     # numpy-matmul variant: pairwise float summation differs from the SQL
     # fold in the last ulp → rows-only here; equivalence to the native
     # operator is asserted in tests/test_similarity.py instead.
@@ -643,6 +659,7 @@ SPARK_BUILDERS = {
     "sim_topk_cosine_fast": similarity.topk_cosine_fast,
     "ann_lsh_buckets": similarity.lsh_buckets,
     "ann_search_pruned": similarity.ann_search,
+    "ann_search_multiprobe": similarity.ann_search_multiprobe,
     "a6_reconstruct": textstats.reconstruct_text,
     "a7_clean_tokens": textstats.clean_tokens,
     "g1_fbeta_arrays": textstats.fbeta_arrays,

@@ -55,3 +55,61 @@ def test_ann_scores_faithful_and_bucket_prunes(spark):
         dot = sum(float(a) * float(b) for a, b in zip(v, q))
         vn = math.sqrt(sum(float(x) * float(x) for x in v))
         assert abs(r["cos"] - dot / (vn * qn)) < 1e-3  # (a) faithful
+
+
+def test_multiprobe_lifts_recall_over_single_probe(spark, tmp_path):
+    """Radius-1 multi-probe must recover exactly the single-sign-flip misses:
+    30 near-dups of the query are planted with noise calibrated (seed 11,
+    σ=0.2·‖q‖/√d) so ~1/3 keep the query's bucket, ~1/3 flip one sign and
+    ~1/3 flip several. Single-probe candidate recall ≲ 0.5; Hamming-1
+    probing must add every one-flip dup back while still pruning the scan."""
+    import numpy as np
+
+    from pii_detection_service_spark.operators import similarity
+    from pii_detection_service_spark.operators.relational import table
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .where(F.col("vec_id") < 60)
+        .collect()
+    )
+    rows = [
+        (r["vec_id"], r["label"], [float(x) for x in r["embedding"]]) for r in base
+    ]
+    q = np.array(dict((r[0], r[2]) for r in rows)[0])
+    rng = np.random.default_rng(11)
+    sigma = 0.2 * float(np.linalg.norm(q)) / np.sqrt(len(q))
+    planted = set()
+    for i in range(30):
+        noisy = q + rng.normal(0.0, sigma, len(q))
+        rows.append((1000 + i, "dup", [float(x) for x in noisy]))
+        planted.add(1000 + i)
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    ).withColumn("embedding", F.col("embedding").cast("array<float>")).write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/embeddings.parquet")
+
+    # candidate-region recall, measured with the operator's own bucket expr
+    anchors = similarity._anchor_literals(spark, sf, 8)
+    bucketed = (
+        table(spark, sf, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("bucket", F.expr(similarity._bucket_sql(anchors)))
+    )
+    buckets = {r["vec_id"]: r["bucket"] for r in bucketed.select("vec_id", "bucket").collect()}
+    qb = buckets[0]
+    single = sum(1 for p in planted if buckets[p] == qb)
+    multi = sum(1 for p in planted if bin(buckets[p] ^ qb).count("1") <= 1)
+    assert single / 30 <= 0.55, f"noise calibration drifted: single={single}"
+    assert multi > single
+    assert multi / 30 >= 0.6, f"multi-probe recall {multi}/30"
+
+    # the search itself: every returned row is a planted dup (cos≈0.97 vs
+    # ~0.5 background), and the scan still pruned (≤ 9/256 of bucket space)
+    got = similarity.ann_search_multiprobe(spark, sf).collect()
+    assert len(got) == 10
+    assert all(r["vec_id"] in planted for r in got)
+    probed = {b for b in set(buckets.values()) if bin(b ^ qb).count("1") <= 1}
+    assert len(probed) < len(set(buckets.values()))
