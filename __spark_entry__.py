@@ -3,10 +3,12 @@
 entry(spark)  — flagship quality-filter + PII-scrub scoring over sf0.001.
 queries()     — every implemented operator (SURVEY.md §2 + training-data
                 pipeline family), one callable per name.
-oracle_sql()  — exact DuckDB twin per query (omitted only for the two
-                UDF-backed pipeline queries: langid char-ngram model,
-                perplexity LM and the regex tagger are not SQL-expressible;
-                the driver records rows-only checks for those).
+oracle_sql()  — exact DuckDB twin per query. The langid char-ngram and
+                perplexity kernels are exact-oracled via
+                pipeline_scores_quantized (models inlined as VALUES in the
+                twin); only the regex tagger's span output and the binary
+                multimodal path stay rows-only (not SQL-expressible; golden
+                tests pin them instead).
 """
 
 from __future__ import annotations

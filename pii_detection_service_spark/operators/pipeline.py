@@ -1,6 +1,11 @@
-"""Pipeline operators over testdata (UDF-backed; driver records rows-only
-checks — langid char-ngram, perplexity, and the regex tagger are not
-SQL-expressible)."""
+"""Pipeline operators over testdata (UDF-backed).
+
+The langid/perplexity kernels ARE exact-oracled via pipeline_scores_quantized
+(the bigram models inline into the DuckDB twin as VALUES); the full
+score/predict queries stay rows-only because the regex tagger's span
+semantics (peeling, overlap precedence, gazetteer windows) are not
+reasonably SQL-expressible — their correctness is pinned by golden tests
+against reference fixtures instead."""
 
 from __future__ import annotations
 
@@ -37,6 +42,26 @@ def score_documents(spark, sf_dir) -> DataFrame:
         "n_pii",
         "n_toxic",
         "scrubbed_caption",
+    )
+
+
+def scores_oracle(spark, sf_dir) -> DataFrame:
+    """Quantized-score projection of the PRODUCTION scoring kernel, built so
+    the langid/perplexity UDFs get an exact DuckDB oracle instead of a
+    rows-only check: the char-bigram models are small fixed tables, so the
+    oracle SQL inlines them as VALUES and recomputes lang, ppl and the full
+    keep/drop rule chain relationally. ppl is quantized to 4 decimals on
+    both sides — the kernel sums logprobs with numpy pairwise summation,
+    the SQL twin with a sequential fold, and rounding collapses the
+    last-ulp difference (boundary straddle would need the two sums to
+    differ across a 5e-5 decimal boundary — checked empirically at both
+    SFs). Runs through score_documents, i.e. the real Arrow kernel path."""
+    return score_documents(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.col("ppl").alias("ppl_q"),
+        "keep",
+        "drop_reason",
     )
 
 

@@ -157,6 +157,88 @@ _SIMHASH_SQL = (
     "AS simhash16 FROM h"
 )
 
+def _kernel_scores_sql() -> str:
+    """Exact DuckDB twin of the langid/perplexity UDF kernels plus the full
+    keep/drop rule chain (quality.lang_and_ppl + quality.keep_decision).
+    The char-bigram models are module constants, so they are inlined as
+    VALUES with repr() floats (shortest round-trip → the same IEEE doubles
+    in both engines); missing bigrams score the inlined floor literal.
+    Testdata text is pure ASCII (checked), so lower()/\\w/[a-z] agree with
+    Python's str.lower()/isalpha()."""
+    import math
+
+    from .functions import quality as _q
+
+    floor = repr(math.log(1e-4))
+    prof = ", ".join(
+        f"({ord(bg[0])}, {ord(bg[1])}, '{lang}', {lp!r})"
+        for lang in sorted(_q._PROFILES)
+        for bg, lp in sorted(_q._PROFILES[lang].items())
+    )
+    lm = ", ".join(
+        f"({ord(bg[0])}, {ord(bg[1])}, {lp!r})" for bg, lp in sorted(_q._LM.items())
+    )
+    return f"""
+WITH prof(a, b, lang, lp) AS (VALUES {prof}),
+lm(a, b, lp) AS (VALUES {lm}),
+base AS (SELECT doc_id, text, lower(text) AS t FROM documents),
+cps AS (SELECT doc_id, t,
+        list_transform(string_split('^' || t || '$', ''),
+                       c -> least(unicode(c), 256)) AS cp
+        FROM base),
+bg AS (SELECT doc_id, len(cp) - 1 AS nbg,
+       unnest(list_zip(cp[1:len(cp)-1], cp[2:len(cp)])) AS p,
+       unnest(range(1, len(cp))) AS i
+       FROM cps),
+lmscore AS (SELECT doc_id, any_value(nbg) AS nbg,
+            sum(coalesce(lm.lp, {floor})) AS s
+            FROM bg LEFT JOIN lm ON lm.a = p[1] AND lm.b = p[2]
+            GROUP BY doc_id),
+langscore AS (SELECT doc_id, l.lang, sum(coalesce(prof.lp, {floor})) AS s
+              FROM bg CROSS JOIN (VALUES ('de'),('en'),('es'),('fr')) l(lang)
+              LEFT JOIN prof ON prof.a = p[1] AND prof.b = p[2]
+                            AND prof.lang = l.lang
+              WHERE bg.i > 1 AND bg.i < bg.nbg
+              GROUP BY doc_id, l.lang),
+best AS (SELECT doc_id, lang FROM (
+         SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY s DESC, lang) AS rn
+         FROM langscore) WHERE rn = 1),
+scored AS (
+  SELECT b.doc_id, b.text,
+         CASE WHEN length(b.t) < 2 OR NOT regexp_matches(b.t, '[a-z]')
+              THEN 'und' ELSE best.lang END AS lang,
+         exp(-lmscore.s / lmscore.nbg) AS ppl
+  FROM base b JOIN lmscore ON lmscore.doc_id = b.doc_id
+  LEFT JOIN best ON best.doc_id = b.doc_id),
+met AS (
+  SELECT doc_id, lang, ppl, length(text) AS n_chars,
+         len(words) AS n_words,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+             AS n_sym,
+         CASE WHEN len(words) > 0 THEN
+           list_max(list_transform(list_distinct(words),
+                    w -> len(list_filter(words, x -> x = w)))) END AS top_n
+  FROM (SELECT *, list_filter(string_split_regex(text, '\\s+'),
+                              w -> w <> '') AS words FROM scored) s),
+final AS (
+  SELECT doc_id, lang, ppl,
+         CASE WHEN n_chars < 10 THEN 'too_short'
+              WHEN n_chars > 2048 THEN 'too_long'
+              WHEN n_words < 3 THEN 'too_few_words'
+              WHEN n_sym / n_chars > 0.3 THEN 'symbol_heavy'
+              WHEN top_n / n_words > 0.5 THEN 'repetitive'
+              WHEN lang NOT IN ('en', 'es', 'de', 'fr') THEN 'bad_lang'
+              WHEN ppl > 1000.0 THEN 'high_ppl'
+              ELSE '' END AS drop_reason
+  FROM met)
+SELECT doc_id, lang, round(ppl, 4) AS ppl_q,
+       drop_reason = '' AS keep, drop_reason
+FROM final
+"""
+
+
 _BANDS_UNION = " UNION ALL ".join(
     f"SELECT doc_id, {band} AS band, "
     f"mh{2 * band}::VARCHAR || '_' || mh{2 * band + 1}::VARCHAR AS band_key FROM sig"
@@ -619,6 +701,7 @@ ORACLES: dict[str, str | None] = {
     """,
     # --- UDF-backed pipeline queries: rows-only driver check ---
     "pipeline_score_documents": None,
+    "pipeline_scores_quantized": _kernel_scores_sql(),
     "pipeline_predict_documents": None,
     # --- multimodal (binary image columns): no SQL decoder → rows-only ---
     "multimodal_decode_stats": None,
@@ -676,6 +759,7 @@ SPARK_BUILDERS = {
     "rollup_doc_counts": relational.rollup_doc_counts,
     "tfidf_top_terms": textstats.tfidf_top_terms,
     "pipeline_score_documents": pipeline.score_documents,
+    "pipeline_scores_quantized": pipeline.scores_oracle,
     "pipeline_predict_documents": pipeline.predict_documents,
     "multimodal_decode_stats": _multimodal_decode_stats,
     "multimodal_features": _multimodal_features,
