@@ -86,7 +86,7 @@ def main():
         return
 
     n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    cache = f"/tmp/spark_graft_bench_images_v3_{n_images}.parquet"
+    cache = f"/tmp/spark_graft_bench_images_v4_{n_images}.parquet"
     if not os.path.isdir(cache):
         from pii_detection_service_spark.plans import stage
 

@@ -82,7 +82,7 @@ def main():
     from pii_detection_service_spark.plans import stage
 
     n_images = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "200000"))
-    cache = f"/tmp/spark_graft_bench_images_v3_{n_images}.parquet"
+    cache = f"/tmp/spark_graft_bench_images_v4_{n_images}.parquet"
     if not os.path.isdir(cache):
         stage.read_synth_or_generate(spark, n_images).repartition(64).write.mode(
             "overwrite"

@@ -3,9 +3,10 @@
 Images/audio/video are opaque ``binary`` columns with typed metadata
 (input_hint: bytes/w/h/fmt). All ops are Arrow-batched ``mapInPandas`` —
 the Spark-side plumbing (schema, batch shape, partition behavior) is real
-and tested; the codec seam is ``sources/imagecodec.py`` (pure-Python PNG is
-a real codec; JPEG is a deterministic stand-in; audio/video decoders raise
-NotImplementedError until a real library is plugged in).
+and tested; the codec seam is ``sources/imagecodec.py`` (pure-Python PNG
+and baseline JFIF JPEG are REAL codecs — see ``sources/jpegcodec.py``;
+audio/video decoders raise NotImplementedError until a real library is
+plugged in).
 
 Memory note (matters at 100 TB): binary columns ride inside Arrow record
 batches — cap `spark.sql.execution.arrow.maxRecordsPerBatch` and the parquet

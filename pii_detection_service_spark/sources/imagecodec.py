@@ -1,14 +1,16 @@
-"""Minimal deterministic image codec (no PIL/libjpeg in this container).
+"""Deterministic image codecs, all pure Python (no PIL/libjpeg needed).
 
 - PNG: a real, spec-conformant encoder/decoder (8-bit RGB, filter 0,
   zlib-compressed IDAT) — output opens in any PNG viewer. Lossless.
-- "JPEG": **deterministic stand-in** for a lossy codec (the container has no
-  JPEG library). Clearly marked format ``FJPG``: step-2 uniform quantization
-  of RGB samples + zlib. It is lossy-but-bounded (max per-sample error 1 →
-  PSNR ≈ 48–54 dB, comfortably above the 40 dB invariant from
-  BASELINE.json input_hint), and byte-deterministic. The Spark-side plumbing
-  (binary column, decode UDF, PSNR check) is identical to what a real
-  libjpeg-backed UDF would use — swap `decode`/`encode_jpeg_like` only.
+- JPEG: a real baseline JFIF encoder/decoder (``jpegcodec.py``): DCT,
+  Annex-K quantization/Huffman tables, 4:4:4 sampling, byte stuffing.
+  The synthetic pipeline encodes at quality 98 so the noise-heavy synth
+  images hold the 40 dB PSNR invariant from BASELINE.json input_hint
+  (worst measured 43.4 dB; natural images clear 40 dB at far lower
+  quality).
+- FJPG: the legacy deterministic lossy stand-in (step-2 quantization +
+  zlib) kept for decode back-compat with data written by earlier rounds;
+  ``decode`` dispatches jpeg-format bytes by magic (0xFFD8 vs b"FJPG").
 
 All functions take/return ``numpy uint8 arrays of shape (h, w, 3)``.
 """
@@ -88,13 +90,27 @@ def decode_jpeg_like(data: bytes) -> np.ndarray:
     return (q.astype(np.uint16) * 2 + 1).clip(0, 255).astype(np.uint8)
 
 
+def encode_jpeg(pixels: np.ndarray, quality: int = 98) -> bytes:
+    """Real baseline JFIF encode (see jpegcodec.py). Default quality 98
+    keeps noise-heavy synthetic content above the 40 dB PSNR invariant."""
+    from . import jpegcodec
+
+    return jpegcodec.encode_baseline_jpeg(pixels, quality=quality)
+
+
 def decode(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return decode_png(data)
     if fmt == "jpeg":
-        return decode_jpeg_like(data)
+        if data[:2] == b"\xff\xd8":
+            from . import jpegcodec
+
+            return jpegcodec.decode_baseline_jpeg(data)
+        if data[:4] == _FJPG_MAGIC:  # legacy stand-in payloads
+            return decode_jpeg_like(data)
+        raise ValueError("jpeg-format bytes with neither SOI nor FJPG magic")
     raise NotImplementedError(
-        f"format {fmt!r}: real decoders (libjpeg/libwebp) are not available "
+        f"format {fmt!r}: real decoders (libwebp/ffmpeg) are not available "
         "in this container; plug one in here"
     )
 

@@ -1,0 +1,452 @@
+"""Pure-Python baseline JPEG (JFIF) encoder/decoder — no libjpeg/PIL.
+
+Replaces the FJPG stand-in behind the imagecodec seam (VERDICT r1 item 6)
+with a real, spec-conformant baseline sequential JPEG:
+
+- encoder: RGB→YCbCr (JFIF), 8×8 forward DCT (matrix form, batched with
+  numpy einsum over all blocks), Annex-K quantization tables scaled by a
+  libjpeg-style quality factor, standard Annex-K Huffman tables, 4:4:4
+  sampling (no chroma subsampling — keeps the 40 dB PSNR invariant easy
+  to hold on noisy synthetic images), interleaved MCUs, 0xFF byte
+  stuffing. Output opens in any JPEG viewer.
+- decoder: marker parse (APP*/COM skipped, DQT/DHT/SOF0/SOS honored),
+  canonical Huffman decode, dequantize, inverse zigzag, batched IDCT,
+  YCbCr→RGB. Tables are read from the file, not assumed.
+
+Honest seams (raise NotImplementedError, never wrong pixels): progressive
+(SOF2) and arithmetic coding, chroma subsampling other than 1×1, restart
+intervals, 12-bit precision, components ≠ 3.
+
+Scale note: the DCT/IDCT and color transforms are numpy-batched across
+every block of the image; only the entropy (Huffman) stage is a Python
+loop, which is the part a production cluster swaps for libjpeg-turbo via
+the same encode/decode signatures. The Spark-side plumbing (binary
+column, Arrow batches, PSNR invariant) is identical either way.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- constants (ITU-T T.81 Annex K) ----------------------------------------
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+_UNZIGZAG = np.argsort(ZIGZAG)
+
+_QT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+])
+_QT_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+])
+
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = list(range(12))
+_DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROM_VALS = list(range(12))
+_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHROM_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROM_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# 8×8 DCT-II basis matrix: D @ block @ D.T = 2-D DCT.
+_D = np.zeros((8, 8))
+for _u in range(8):
+    _c = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _D[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) for a canonical JPEG Huffman table."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, magnitude-bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    bits = v if v > 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = px[..., 0].astype(np.float64), px[..., 1].astype(np.float64), px[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _to_blocks(chan: np.ndarray) -> np.ndarray:
+    """(H8, W8) → (n_blocks, 8, 8) in MCU raster order (H8/W8 multiples of 8)."""
+    h, w = chan.shape
+    return (
+        chan.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def encode_baseline_jpeg(pixels: np.ndarray, quality: int = 92) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as baseline JFIF (4:4:4)."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    qts = [_scaled_qt(_QT_LUM, quality), _scaled_qt(_QT_CHROM, quality)]
+
+    ycc = _rgb_to_ycbcr(pixels)
+    ph, pw = -h % 8, -w % 8  # pad to block multiple by edge replication
+    ycc = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge")
+
+    # batched DCT + quantization per component
+    comp_zz = []
+    for ci in range(3):
+        blocks = _to_blocks(ycc[..., ci]) - 128.0
+        coefs = np.einsum("ux,nxy,vy->nuv", _D, blocks, _D)
+        qt = qts[0 if ci == 0 else 1].reshape(8, 8)
+        quant = np.round(coefs / qt).astype(np.int32)
+        comp_zz.append(quant.reshape(-1, 64)[:, ZIGZAG])
+
+    # entropy coding (interleaved MCUs; 4:4:4 → one block per component)
+    tables = [
+        (_canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS),
+         _canonical_codes(_AC_LUM_BITS, _AC_LUM_VALS)),
+        (_canonical_codes(_DC_CHROM_BITS, _DC_CHROM_VALS),
+         _canonical_codes(_AC_CHROM_BITS, _AC_CHROM_VALS)),
+    ]
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    n_blocks = comp_zz[0].shape[0]
+    for bi in range(n_blocks):
+        for ci in range(3):
+            dc_tbl, ac_tbl = tables[0 if ci == 0 else 1]
+            zz = comp_zz[ci][bi]
+            s, bits = _magnitude(int(zz[0]) - prev_dc[ci])
+            prev_dc[ci] = int(zz[0])
+            code, length = dc_tbl[s]
+            bw.write(code, length)
+            if s:
+                bw.write(bits, s)
+            run = 0
+            nz = np.nonzero(zz[1:])[0]
+            last = nz[-1] + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_tbl[0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                s, bits = _magnitude(v)
+                code, length = ac_tbl[(run << 4) | s]
+                bw.write(code, length)
+                bw.write(bits, s)
+                run = 0
+            if last < 63:
+                code, length = ac_tbl[0x00]  # EOB
+                bw.write(code, length)
+
+    # --- headers ---
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            int(x) for x in qt[ZIGZAG]
+        )
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, qid in ((1, 0), (2, 1), (3, 1)):
+        out += bytes([cid, 0x11, qid])
+    for tc_th, bits, vals in (
+        (0x00, _DC_LUM_BITS, _DC_LUM_VALS),
+        (0x10, _AC_LUM_BITS, _AC_LUM_VALS),
+        (0x01, _DC_CHROM_BITS, _DC_CHROM_VALS),
+        (0x11, _AC_CHROM_BITS, _AC_CHROM_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid, tsel in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        out += bytes([cid, tsel])
+    out += b"\x00\x3f\x00"  # spectral selection 0..63, approx 0
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- decoder ----------------------------------------------------------------
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.acc = (self.acc << 8) | 0xFF  # pad past end per spec
+                self.nbits += 8
+                continue
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    # marker (EOI): stop consuming, pad with 1s
+                    self.pos -= 1
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _decode_tree(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _read_symbol(br: _BitReader, tree: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = tree.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_baseline_jpeg(data: bytes) -> np.ndarray:
+    """Decode baseline JFIF (any valid tables; 4:4:4, 3 components) to an
+    (h, w, 3) uint8 RGB array. Raises NotImplementedError for progressive,
+    subsampled, restart-interval, or non-3-component streams."""
+    assert data[:2] == b"\xff\xd8", "not a JPEG (missing SOI)"
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[int, dict[tuple[int, int], int]] = {}
+    h = w = 0
+    comps: list[tuple[int, int]] = []  # (component id, qt id)
+    scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
+    while pos < len(data):
+        assert data[pos] == 0xFF, f"marker expected at {pos}"
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly multiple tables)
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                zz = np.frombuffer(seg[sp + 1 : sp + 65], np.uint8).astype(np.int32)
+                qts[tq] = zz[_UNZIGZAG].reshape(8, 8)
+                sp += 65
+        elif marker == 0xC4:  # DHT (possibly multiple tables)
+            sp = 0
+            while sp < len(seg):
+                tc_th = seg[sp]
+                bits = list(seg[sp + 1 : sp + 17])
+                nv = sum(bits)
+                vals = list(seg[sp + 17 : sp + 17 + nv])
+                huff[tc_th] = _decode_tree(bits, vals)
+                sp += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            if nc != 3:
+                raise NotImplementedError("only 3-component (YCbCr) streams")
+            for i in range(nc):
+                cid, samp, qid = seg[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling not supported (4:4:4 only)"
+                    )
+                comps.append((cid, qid))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("only baseline sequential (SOF0)")
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            for i in range(ns):
+                cid, tsel = seg[1 + 2 * i : 3 + 2 * i]
+                idx = next(i for i, (c, _) in enumerate(comps) if c == cid)
+                scan.append((idx, tsel >> 4, tsel & 0xF))
+            pos += seglen
+            break
+        pos += seglen
+
+    assert comps and scan and h and w, "truncated JPEG (no SOS/SOF)"
+    br = _BitReader(data[pos:])
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    n_blocks = bh * bw_
+    coefs = [np.zeros((n_blocks, 64), np.int32) for _ in comps]
+    prev_dc = [0] * len(comps)
+    for bi in range(n_blocks):
+        for ci, tdc, tac in scan:
+            dc_tree = huff[0x00 | tdc]
+            ac_tree = huff[0x10 | tac]
+            zz = coefs[ci][bi]
+            s = _read_symbol(br, dc_tree)
+            diff = _extend(br.read_bits(s), s) if s else 0
+            prev_dc[ci] += diff
+            zz[0] = prev_dc[ci]
+            k = 1
+            while k <= 63:
+                rs = _read_symbol(br, ac_tree)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                s = rs & 0xF
+                zz[k] = _extend(br.read_bits(s), s)
+                k += 1
+
+    # dequantize + inverse zigzag + batched IDCT per component
+    planes = []
+    for ci, (_, qid) in enumerate(comps):
+        qt = qts[qid].reshape(64)
+        dq = (coefs[ci] * qt[ZIGZAG]).astype(np.float64)[:, _UNZIGZAG].reshape(
+            -1, 8, 8
+        )
+        # inverse of coefs = D @ b @ D.T  →  b = D.T @ coefs @ D
+        blocks = np.einsum("ux,nuv,vy->nxy", _D, dq, _D) + 128.0
+        plane = (
+            blocks.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+        )
+        planes.append(plane[:h, :w])
+    return _ycbcr_to_rgb(np.stack(planes, axis=-1))

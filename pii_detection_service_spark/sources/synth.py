@@ -108,7 +108,7 @@ def make_row(i: int, size: int = 24) -> dict:
     data = (
         imagecodec.encode_png(px)
         if fmt == "png"
-        else imagecodec.encode_jpeg_like(px)
+        else imagecodec.encode_jpeg(px)  # real baseline JFIF, quality 98
     )
     return {
         "image_id": f"img_{i:08d}",
