@@ -185,3 +185,46 @@ def test_stage_plan_is_map_only_plus_one_shuffle(spark, src):
     ).repartition(16, "bucket", "salt")
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_resume_after_torn_file_rewrites_bucket_idempotently(spark, src, tmp_path):
+    """Crash DURING a bucket's data write: the bucket dir holds a torn
+    (half-written, unreadable) parquet part and lineage never recorded the
+    bucket. Resume must rewrite that bucket's partition atomically (dynamic
+    partition overwrite replaces the whole directory, torn file included) —
+    no duplicate rows, no unreadable leftovers, exact row parity."""
+    out = str(tmp_path / "torn_out")
+    stage.run_stage(spark, src, out, n_buckets=8, salt_factor=2)
+
+    victim = 3
+    vdir = os.path.join(out, "data", f"bucket={victim}")
+    parts = [f for f in os.listdir(vdir) if f.endswith(".parquet")]
+    assert parts
+    # tear the first part: truncate to half (invalid parquet footer) — the
+    # file system state a mid-write executor kill leaves behind
+    torn = os.path.join(vdir, parts[0])
+    blob = open(torn, "rb").read()
+    with open(torn, "wb") as f:
+        f.write(blob[: len(blob) // 2])
+    # and the crash happened before lineage committed the bucket
+    ldir = os.path.join(out, "lineage")
+    lineage = spark.read.parquet(ldir).where(F.col("bucket") != victim).collect()
+    import shutil
+
+    shutil.rmtree(ldir)
+    spark.createDataFrame(
+        lineage,
+        "bucket int, n_rows long, n_kept long, n_pii_rows long, "
+        "runtime_sec double, status string",
+    ).coalesce(1).write.mode("overwrite").parquet(ldir)
+
+    m = stage.run_stage(spark, src, out, n_buckets=8, salt_factor=2)
+    expected_victim = (
+        stage.with_bucket(src, 8).where(F.col("bucket") == victim).count()
+    )
+    assert m["rows"] == expected_victim  # only the torn bucket reprocessed
+
+    data = spark.read.parquet(os.path.join(out, "data"))  # all parts readable
+    assert data.count() == src.count()
+    assert data.select("image_id").distinct().count() == src.count()
+    assert spark.read.parquet(ldir).where("status = 'done'").count() == 8
