@@ -1,0 +1,163 @@
+"""Large-scale bench: the stage + dedup family at 5M rows (25x the
+per-round bench volume) — the "would this survive 100x?" evidence run.
+
+Reuses the PRODUCTION operator code paths unchanged: the 5M caption corpus
+is written as a documents.parquet table and the dedup operators are called
+with that directory as sf_dir, exactly as the driver calls them. Per-query
+wall seconds and rows/sec land in BENCH/scale5m.json; compare across
+rounds to catch regressions at scale that sf0.1 hides.
+
+Forcing note: every timed query aggregates over its computed outputs —
+a bare count() lets Catalyst prune projected expressions (minhash/simhash
+sketches would never execute).
+
+Usage: python BENCH/scale_run.py [n_rows]   (default 5,000,000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("pii-spark-scale-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus * 4))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import pyspark.sql.functions as F
+
+    from pii_detection_service_spark.plans import stage
+
+    img_cache = f"/tmp/spark_graft_bench_images_v4_{n}.parquet"
+    if not os.path.isdir(img_cache):
+        stage.read_synth_or_generate(spark, n).repartition(256).write.mode(
+            "overwrite"
+        ).parquet(img_cache)
+
+    docs_dir = f"/tmp/spark_graft_scale_docs_v4_{n}"
+    docs_path = os.path.join(docs_dir, "documents.parquet")
+    if not os.path.isdir(docs_path):
+        src = spark.read.parquet(img_cache)
+        (
+            src.select(
+                F.substring("image_id", 5, 8).cast("long").alias("doc_id"),
+                F.col("caption").alias("text"),
+                F.lit("en").alias("lang"),
+                F.lit("synth").alias("source"),
+                F.length("caption").alias("n_chars"),
+            )
+            .repartition(256)
+            .write.mode("overwrite")
+            .parquet(docs_path)
+        )
+
+    # python worker warmup (cluster-amortized startup)
+    spark.range(0, cpus * 4, 1, cpus).mapInPandas(
+        lambda it: (p for p in it), schema="id long"
+    ).count()
+
+    from pii_detection_service_spark.operators import dedup
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        times[name] = round(time.monotonic() - t0, 2)
+        rows[name] = out
+        print(f"  {name}: {times[name]}s ({out} rows)", file=sys.stderr)
+
+    sig_force = [F.sum(f"mh{j}") for j in range(8)]
+    timed(
+        "dedup_exact",
+        lambda: dedup.exact_dedup(spark, docs_dir).count(),
+    )
+    timed(
+        "dedup_minhash_signatures",
+        lambda: len(dedup.minhash_signatures(spark, docs_dir).agg(*sig_force).collect()),
+    )
+    timed(
+        "dedup_minhash_bands",
+        lambda: dedup.minhash_band_candidates(spark, docs_dir).count(),
+    )
+    timed(
+        "dedup_minhash_survivors",
+        lambda: len(
+            dedup.minhash_survivors(spark, docs_dir).agg(F.sum("dup_of")).collect()
+        ),
+    )
+    timed(
+        "dedup_simhash",
+        lambda: len(dedup.simhash(spark, docs_dir).agg(F.sum("simhash16")).collect()),
+    )
+    timed(
+        "dedup_clusters",
+        lambda: dedup.dedup_clusters(spark, docs_dir).count(),
+    )
+    timed(
+        "jaccard_candidates",
+        lambda: dedup.jaccard_candidates(spark, docs_dir).count(),
+    )
+
+    # flagship score-only throughput (map-only Arrow pass)
+    src = spark.read.parquet(img_cache)
+    t0 = time.monotonic()
+    row = (
+        stage.score(stage.with_bucket(src, 64))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+        )
+        .collect()[0]
+    )
+    assert 0 < row["kept"] < row["n"]
+    times["image_stage_score"] = round(time.monotonic() - t0, 2)
+    rows["image_stage_score"] = row["n"]
+    ips = round(row["n"] / times["image_stage_score"], 1)
+    print(f"  score: {ips} images/sec", file=sys.stderr)
+
+    # full stage incl. the one (bucket, salt) shuffle + partitioned write
+    out_dir = tempfile.mkdtemp(prefix="scale_stage_")
+    t0 = time.monotonic()
+    m = stage.run_stage(spark, src, out_dir, n_buckets=64, salt_factor=4)
+    times["image_stage_write"] = round(time.monotonic() - t0, 2)
+    rows["image_stage_write"] = m["rows"]
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    result = {
+        "n_rows": n,
+        "cpus": cpus,
+        "images_per_sec_score": ips,
+        "queries_sec": times,
+        "rows": rows,
+        "total_sec": round(sum(times.values()), 2),
+    }
+    print(json.dumps(result))
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, f"scale{n // 1_000_000}m.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -2,16 +2,21 @@
 100 TB caption corpus actually needs, each Spark-native (higher-order
 functions, no Python UDFs) so the hot path stays in the JVM.
 
-Scale notes:
-- exact:    one hash-groupBy shuffle on md5(text) — map-side partial agg.
-- minhash:  signatures are per-row map-only; candidate pairing happens on
-            banded signature groupBy (shuffle keyed on small band strings).
-- simhash:  per-row map-only 16-bit sketch; near-dups = equal sketch.
-- jaccard:  exact verify step on *blocked* pairs only (lang, source) —
-            the expensive O(n²) join is bounded by block size, the same
-            verify-after-candidates shape the minhash-LSH paper uses.
-- embedding near-dup: blocked brute-force cosine; see similarity.py for
-            the LSH-bucketed ANN scale path.
+Scale notes (timings: 5M-doc corpus, local[32] — BENCH/scale5m.json):
+- exact:    one hash-groupBy shuffle on md5(text) — map-side partial agg (3 s).
+- minhash:  signatures are per-row map-only over a shingle-id array computed
+            once per row (51 s; the original inline per-shingle fold was
+            599 s); candidate pairing happens on banded signature groupBy
+            (shuffle keyed on small band strings).
+- simhash:  per-row map-only 16-bit sketch; near-dups = equal sketch (84 s).
+- jaccard:  exact verify on LSH star-edge candidates (jaccard_candidates,
+            56 s for 16.4M verified pairs — linear in corpus);
+            jaccard_pairs keeps the blocked all-pairs baseline for recall
+            studies only.
+- embedding near-dup: sign-LSH bucket blocking shared with similarity.py's
+            ANN index; exact cosine only on same-bucket pairs.
+- group-min everywhere via groupBy+join (AQE-splittable), never a Window
+            over (band, band_key) — a hot band group would sort in one task.
 """
 
 from __future__ import annotations
@@ -28,10 +33,35 @@ MINHASH_B = [1, 2, 3, 4, 5, 6, 7, 8]
 MOD = 1_000_000_007
 
 # Shared sub-expressions (SQL strings so the DuckDB oracle mirrors 1:1).
-_CHAR_SHINGLES = "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"
+#
+# Shingle ids: each 3-char shingle maps to ONE integer via base-0x110000
+# positional encoding (injective over all of Unicode, max ≈ 1.4e18 < int64),
+# reduced mod 1e9+7 so downstream permutations can't overflow. This replaces
+# the original per-shingle rolling fold over split(s, '') — an interpreted
+# HOF chain (split + transform + aggregate, 3 array allocations per shingle)
+# that measured 599 s for 5M docs at 32 cores; the arithmetic form runs the
+# same corpus in seconds. The codepoint array is materialized ONCE per row
+# (named column) and the three lookups per shingle are plain element_at.
+_BASE = 0x110000  # one above the max Unicode codepoint → injective
+_CODEPOINTS = "transform(split(text, ''), c -> ascii(c))"
+_SHINGLE_IDS_FROM_CS = (
+    "array_distinct(transform(sequence(1, length(text) - 2), i -> "
+    f"(element_at(cs, i) * {_BASE * _BASE}L + element_at(cs, i + 1) * {_BASE}L "
+    "+ element_at(cs, i + 2)) % 1000000007))"
+)
 _HASH_ONE = "aggregate(transform(split({s}, ''), c -> ascii(c)), 0L, (acc, x) -> (acc * 31 + x) % 1000000007)"
-_SHINGLE_HASHES = f"transform({_CHAR_SHINGLES}, s -> {_HASH_ONE.format(s='s')})"
 _WORD_HASHES = "transform(split(text, ' '), w -> " + _HASH_ONE.format(s="w") + ")"
+
+
+def _with_shingles(d: DataFrame) -> DataFrame:
+    """(…, hs: array<bigint>) — distinct 3-gram shingle ids, computed once
+    per row behind a named column so multi-consumer plans can't inline and
+    recompute the expensive part."""
+    return (
+        d.withColumn("cs", F.expr(_CODEPOINTS))
+        .withColumn("hs", F.expr(_SHINGLE_IDS_FROM_CS))
+        .drop("cs")
+    )
 
 
 def exact_dedup(spark, sf_dir) -> DataFrame:
@@ -45,31 +75,51 @@ def exact_dedup(spark, sf_dir) -> DataFrame:
 
 
 def minhash_signatures(spark, sf_dir) -> DataFrame:
-    """MinHash (k=8) over distinct character 3-gram shingles. Map-only:
-    shingle → rolling-hash → k permuted mins, all in JVM codegen."""
-    d = table(spark, sf_dir, "documents").where(F.length("text") >= 3)
+    """MinHash (k=8) over distinct character 3-gram shingle ids. Map-only:
+    the shingle-id array is computed once per row (see _with_shingles),
+    then each of the k permutations is a cheap arithmetic array_min over
+    that shared array."""
+    d = _with_shingles(
+        table(spark, sf_dir, "documents").where(F.length("text") >= 3)
+    )
     cols = [
-        F.expr(
-            f"array_min(transform({_SHINGLE_HASHES}, h -> ({a} * h + {b}) % {MOD}))"
-        ).alias(f"mh{j}")
+        F.expr(f"array_min(transform(hs, h -> ({a} * h + {b}) % {MOD}))").alias(
+            f"mh{j}"
+        )
         for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
     return d.select("doc_id", *cols)
 
 
 def _band_assignments(sig: DataFrame) -> DataFrame:
-    """LSH banding (4 bands × 2 rows): (doc_id, band, band_key) rows."""
-    bands = None
-    for band in range(4):
-        b = sig.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.concat_ws(
-                "_", F.col(f"mh{2 * band}"), F.col(f"mh{2 * band + 1}")
-            ).alias("band_key"),
-        )
-        bands = b if bands is None else bands.unionAll(b)
-    return bands
+    """LSH banding (4 bands × 2 rows): (doc_id, band, band_key) rows.
+
+    ONE posexplode over an array of the 4 band keys — not a 4-way union of
+    projections, which would plant 4 scans of the signature plan (the
+    signature expressions would run 4× per row)."""
+    arr = F.array(
+        *[
+            F.concat_ws("_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+            for b in range(4)
+        ]
+    )
+    return sig.select(
+        "doc_id", F.posexplode(arr).alias("band", "band_key")
+    )
+
+
+def _with_grp_min(bands: DataFrame) -> DataFrame:
+    """Attach each band-assignment row its group's min doc_id.
+
+    groupBy + equi-join instead of a Window min: the partial aggregate
+    combines map-side (the min table is one row per band group regardless
+    of skew), and the join back is an AQE-splittable shuffle — a Window
+    over (band, band_key) would sort every row of a hot band group in ONE
+    task, exactly the skew a template-heavy corpus produces."""
+    mins = bands.groupBy("band", "band_key").agg(
+        F.min("doc_id").alias("grp_min")
+    )
+    return bands.join(mins, ["band", "band_key"])
 
 
 def minhash_band_candidates(spark, sf_dir) -> DataFrame:
@@ -88,12 +138,10 @@ def minhash_survivors(spark, sf_dir) -> DataFrame:
     """End-to-end MinHash dedup: a doc survives unless some band bucket
     contains a smaller doc_id (min-id survivor rule — the single-round
     connected-components approximation used by LSH dedup pipelines).
-    Window min over (band, band_key), then per-doc reduction."""
-    from pyspark.sql import Window
-
+    Group-min over (band, band_key) (skew-safe groupBy+join, see
+    _with_grp_min), then per-doc reduction."""
     bands = _band_assignments(minhash_signatures(spark, sf_dir))
-    w = Window.partitionBy("band", "band_key")
-    per_band = bands.withColumn("grp_min", F.min("doc_id").over(w))
+    per_band = _with_grp_min(bands)
     return (
         per_band.groupBy("doc_id")
         .agg(F.min("grp_min").alias("dup_of"))
@@ -175,12 +223,9 @@ def dedup_clusters(spark, sf_dir) -> DataFrame:
     Star edges (doc ↔ band-group min) keep the edge count linear in corpus
     size — never the quadratic clique — then connected components collapse
     chains to their global min id."""
-    from pyspark.sql import Window
-
     sig = minhash_signatures(spark, sf_dir)
     bands = _band_assignments(sig)
-    w = Window.partitionBy("band", "band_key")
-    star = bands.withColumn("grp_min", F.min("doc_id").over(w))
+    star = _with_grp_min(bands)
     edges = (
         star.where(F.col("doc_id") != F.col("grp_min"))
         .select(F.col("doc_id").alias("a"), F.col("grp_min").alias("b"))
@@ -207,7 +252,17 @@ def dedup_clusters(spark, sf_dir) -> DataFrame:
 
 def simhash(spark, sf_dir) -> DataFrame:
     """16-bit SimHash over word hashes: bit b set iff the sum of ±1 votes
-    from each word's bit b is positive. Near-dups share the sketch."""
+    from each word's bit b is positive. Near-dups share the sketch.
+
+    Formulation note (measured at 5M docs, 32 cores): this per-bit outer
+    fold looks like it re-derives the word hashes 16×, but Spark's
+    subexpression elimination evaluates the _WORD_HASHES argument once per
+    row — 84 s total, dominated by the per-word rolling hash itself. Two
+    "optimized" rewrites were measured SLOWER and rejected: a zip_with
+    16-vote-vector fold (330 s — per-element array allocation dominates
+    interpreted HOF cost) and a packed-bitfield arithmetic accumulator
+    (282 s — one 5-element array allocation per word still loses to the
+    engine's own dedup). Keep the transparent form."""
     d = table(spark, sf_dir, "documents")
     sim = F.expr(
         "aggregate(sequence(0, 15), 0L, (acc, b) -> acc + "
@@ -233,22 +288,17 @@ def jaccard_candidates(spark, sf_dir) -> DataFrame:
     doc_id-keyed joins — no shuffle ever carries a shingle array for a
     non-candidate doc, and the O(block²) shape of jaccard_pairs never
     appears. Verified-pair count == candidate-edge count, pinned by test."""
-    from pyspark.sql import Window
-
     sig = minhash_signatures(spark, sf_dir)
     bands = _band_assignments(sig)
-    w = Window.partitionBy("band", "band_key")
-    star = bands.withColumn("grp_min", F.min("doc_id").over(w))
+    star = _with_grp_min(bands)
     cand = (
         star.where(F.col("doc_id") != F.col("grp_min"))
         .select(F.col("grp_min").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         .distinct()  # an edge sharing several bands is verified once
     )
-    sh = (
-        table(spark, sf_dir, "documents")
-        .where(F.length("text") >= 3)
-        .select("doc_id", F.expr(_CHAR_SHINGLES).alias("shingles"))
-    )
+    sh = _with_shingles(
+        table(spark, sf_dir, "documents").where(F.length("text") >= 3)
+    ).select("doc_id", F.col("hs").alias("shingles"))
     pairs = cand.join(
         sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
         "doc_a",
@@ -276,8 +326,13 @@ def jaccard_pairs(spark, sf_dir) -> DataFrame:
     block here self-joins O(block²) pairs, while the candidate set stays
     linear in the number of true near-dups."""
     d = table(spark, sf_dir, "documents").where(F.length("text") >= 3)
-    sh = d.select(
-        "doc_id", "lang", "source", F.expr(_CHAR_SHINGLES).alias("shingles")
+    # int shingle ids (base-0x110000 positional code, injective before the
+    # mod-1e9+7 reduction) make set intersection/union sizes — and thus jac
+    # — match string shingles except under a mod collision (~1e-9 per
+    # distinct-shingle pair, and identical across engines either way), at a
+    # fraction of the compare cost
+    sh = _with_shingles(d).select(
+        "doc_id", "lang", "source", F.col("hs").alias("shingles")
     )
     a = sh.alias("a")
     b = sh.alias("b")

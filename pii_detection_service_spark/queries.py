@@ -54,10 +54,14 @@ def _multimodal_features(spark, sf_dir):
 # Oracle SQL fragments shared across queries (mirror operators/*.py).
 # ---------------------------------------------------------------------------
 
+# Int shingle ids — mirrors dedup._SHINGLE_IDS_FROM_CS: base-0x110000
+# positional code of the 3 codepoints, mod 1e9+7, distinct.
 _SHINGLES_CTE = (
     "SELECT doc_id, lang, source, "
     "list_distinct(list_transform(range(1, length(text) - 1), "
-    "i -> substr(text, i::INTEGER, 3))) AS shingles "
+    "i -> (ascii(text[i::INTEGER]) * 1241245548544 "
+    "+ ascii(text[(i + 1)::INTEGER]) * 1114112 "
+    "+ ascii(text[(i + 2)::INTEGER])) % 1000000007)) AS shingles "
     "FROM documents WHERE length(text) >= 3"
 )
 
@@ -88,7 +92,7 @@ def _minhash_cols() -> str:
 
 _MINHASH_SQL = (
     "WITH s AS (" + _SHINGLES_CTE + "), "
-    "h AS (SELECT doc_id, " + _HASH_LIST.format(col="shingles") + " AS hs FROM s) "
+    "h AS (SELECT doc_id, shingles AS hs FROM s) "
     "SELECT doc_id, " + _minhash_cols() + " FROM h"
 )
 
@@ -390,7 +394,7 @@ ORACLES: dict[str, str | None] = {
     # min-label-propagation loop (both converge to min reachable id).
     "dedup_clusters": (
         "WITH RECURSIVE s AS (" + _SHINGLES_CTE + "), "
-        "h AS (SELECT doc_id, " + _HASH_LIST.format(col="shingles") + " AS hs FROM s), "
+        "h AS (SELECT doc_id, shingles AS hs FROM s), "
         "sig AS (SELECT doc_id, " + _minhash_cols() + " FROM h), "
         "bands AS (" + _BANDS_UNION + "), "
         "pb AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, band_key) "
