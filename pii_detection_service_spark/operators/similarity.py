@@ -175,6 +175,71 @@ def ann_search_multiprobe(
     )
 
 
+def _cell_scores_sql(anchors: dict[int, list[float]]) -> str:
+    """array of per-centroid affinities 2·dot(v, c_j) − ‖c_j‖², highest =
+    nearest centroid (monotone in −‖v−c_j‖²; the ‖v‖² term is constant per
+    row). Anchor norms are folded from the SAME inlined literals with the
+    same sequential fold as the oracle's list_reduce — identical doubles,
+    so the argmax cell matches bit-for-bit."""
+    terms = []
+    for aid in sorted(anchors):
+        arr = "array(" + ", ".join(repr(x) for x in anchors[aid]) + ")"
+        dot = _DOT.format(u="v", v=arr)
+        nrm2 = _DOT.format(u=arr, v=arr)
+        terms.append(f"(2.0d * {dot} - {nrm2})")
+    return "array(" + ", ".join(terms) + ")"
+
+
+def ann_ivf_search(
+    spark,
+    sf_dir,
+    query_vec_id: int = 0,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: the 8 data-derived anchors act as a coarse quantizer —
+    every vector is assigned to its nearest centroid's cell (map-only
+    argmax over inlined literals, no shuffle), and the query probes its
+    ``n_probe`` nearest cells instead of one sign-LSH bucket. At scale the
+    cell id is the partition key and a probe scans n_probe/n_centroids of
+    the corpus; unlike sign-LSH buckets, cells adapt to the data's density
+    (the classic IVF recall-per-scanned-fraction advantage). Exact cosine
+    runs only on probed candidates; deterministic top-10."""
+    anchors = _anchor_literals(spark, sf_dir, n_centroids)
+    scores = _cell_scores_sql(anchors)
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # argmax = first position of the max (ties → smallest cell id, matching
+    # the oracle's ORDER BY score DESC, cell ASC)
+    cells = e.withColumn(
+        "cell", F.expr(f"array_position({scores}, array_max({scores}))")
+    )
+    q = cells.where(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("qv"), F.expr(scores).alias("qscores")
+    )
+    qcells = (
+        q.select(F.posexplode("qscores").alias("pos", "score"))
+        .select((F.col("pos") + 1).alias("cell"), "score")
+        .orderBy(F.col("score").desc(), "cell")
+        .limit(n_probe)
+        .select("cell")
+    )
+    qv = q.select("qv")
+    cand = cells.join(F.broadcast(qcells), "cell").join(F.broadcast(qv))
+    cos = F.round(
+        F.expr(_DOT.format(u="v", v="qv"))
+        / (F.expr(_NORM.format(u="v")) * F.expr(_NORM.format(u="qv"))),
+        4,
+    )
+    return (
+        cand.where(F.col("vec_id") != query_vec_id)
+        .select("vec_id", F.col("cell").cast("bigint").alias("cell"), cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 def lsh_buckets(spark, sf_dir) -> DataFrame:
     """Sign-LSH bucket histogram: 8 data-derived hyperplanes (embeddings of
     vec_id 1..8); bucket = Σ_j (dot(v, anchor_j) > 0) << (j-1). One map-only

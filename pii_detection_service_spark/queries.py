@@ -526,6 +526,28 @@ ORACLES: dict[str, str | None] = {
         "AND be.vec_id <> 0 "
         "ORDER BY cos DESC, vec_id LIMIT 10"
     ),
+    # IVF coarse-quantizer ANN: nearest-centroid cells + 2-probe search.
+    # Scores/norms fold sequentially on both sides → argmax cells match.
+    "ann_search_ivf": (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "anch AS (SELECT vec_id AS aid, v AS av, " + _DOT_D.format(u="v", v="v")
+        + " AS nrm2 FROM e WHERE vec_id BETWEEN 1 AND 8), "
+        "sc AS (SELECT e.vec_id, anch.aid, 2.0::DOUBLE * "
+        + _DOT_D.format(u="e.v", v="av") + " - anch.nrm2 AS score FROM e, anch), "
+        "cells AS (SELECT vec_id, aid AS cell FROM ("
+        "SELECT vec_id, aid, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY score DESC, aid) AS rn FROM sc) t WHERE rn = 1), "
+        "qc AS (SELECT aid AS cell FROM sc WHERE vec_id = 0 "
+        "ORDER BY score DESC, aid LIMIT 2), "
+        "ce AS (SELECT cells.vec_id, cells.cell, e.v FROM cells "
+        "JOIN e ON cells.vec_id = e.vec_id), "
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0) "
+        "SELECT ce.vec_id, ce.cell::BIGINT AS cell, "
+        "round(" + _DOT_D.format(u="ce.v", v="qv") + " / ("
+        + _NORM_D.format(u="ce.v") + " * " + _NORM_D.format(u="qv") + "), 4) AS cos "
+        "FROM ce JOIN qc ON ce.cell = qc.cell, q WHERE ce.vec_id <> 0 "
+        "ORDER BY cos DESC, vec_id LIMIT 10"
+    ),
     # numpy-matmul variant: pairwise float summation differs from the SQL
     # fold in the last ulp → rows-only here; equivalence to the native
     # operator is asserted in tests/test_similarity.py instead.
@@ -747,6 +769,7 @@ SPARK_BUILDERS = {
     "ann_lsh_buckets": similarity.lsh_buckets,
     "ann_search_pruned": similarity.ann_search,
     "ann_search_multiprobe": similarity.ann_search_multiprobe,
+    "ann_search_ivf": similarity.ann_ivf_search,
     "a6_reconstruct": textstats.reconstruct_text,
     "a7_clean_tokens": textstats.clean_tokens,
     "g1_fbeta_arrays": textstats.fbeta_arrays,

@@ -113,3 +113,29 @@ def test_multiprobe_lifts_recall_over_single_probe(spark, tmp_path):
     assert all(r["vec_id"] in planted for r in got)
     probed = {b for b in set(buckets.values()) if bin(b ^ qb).count("1") <= 1}
     assert len(probed) < len(set(buckets.values()))
+
+
+def test_ivf_probes_subset_and_scores_faithful(spark):
+    """IVF coarse-quantizer search: (a) candidates come only from the
+    query's 2 probed cells (a strict subset of the corpus — pruning is
+    real), (b) every returned score is the true cosine."""
+    import math
+
+    from pii_detection_service_spark.operators import similarity
+    from pii_detection_service_spark.operators.relational import table
+
+    got = similarity.ann_ivf_search(spark, SF).collect()
+    assert got
+    assert len({r["cell"] for r in got}) <= 2  # ≤ n_probe cells represented
+
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in table(spark, SF, "embeddings").collect()
+    }
+    q = vecs[0]
+    qn = math.sqrt(sum(float(x) ** 2 for x in q))
+    for r in got:
+        v = vecs[r["vec_id"]]
+        dot = sum(float(a) * float(b) for a, b in zip(v, q))
+        vn = math.sqrt(sum(float(x) ** 2 for x in v))
+        assert abs(r["cos"] - dot / (vn * qn)) < 1e-3
