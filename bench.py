@@ -55,6 +55,12 @@ def main():
         "events_sessionize",
         "tfidf_top_terms",
         "dedup_clusters",
+        # round-2 additions: candidate-restricted verify, multi-probe/IVF
+        # ANN, and the exact-oracled quantized scoring kernel
+        "dedup_jaccard_candidates",
+        "ann_search_multiprobe",
+        "ann_search_ivf",
+        "pipeline_scores_quantized",
     ]
 
     # Warm the Python worker pool (each worker cold-imports pandas/numpy

@@ -97,6 +97,104 @@ def resize(df: DataFrame, out_size: int) -> DataFrame:
     return df.select("image_id", "bytes", "fmt").mapInPandas(fn, RESIZE_DDL)
 
 
+# --- audio: real WAV (RIFF/PCM) binary column --------------------------------
+
+AUDIO_STATS_DDL = (
+    "audio_id string, sr int, n_samples int, duration_sec double, "
+    "rms double, zero_cross_rate double, clip_frac double, silence_frac double"
+)
+AUDIO_FEATURES_DDL = "audio_id string, features array<float>"
+
+
+def audio_stats(df: DataFrame) -> DataFrame:
+    """Decode WAV bytes and compute per-clip quality stats — the audio
+    analog of decode_stats: duration, RMS level, zero-crossing rate, the
+    fraction of clipped (saturated) samples and of near-silent samples.
+    These four drive the audio keep/drop heuristics a training-data
+    pipeline runs (too-quiet, clipped, too-short)."""
+    from ..sources import wavcodec
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
+                s, sr = wavcodec.decode_wav(bytes(data))
+                if s.ndim == 2:
+                    s = s.mean(axis=1)
+                x = s.astype(np.float64) / 32768.0
+                n = len(x)
+                rms = float(np.sqrt((x * x).mean())) if n else 0.0
+                zcr = float((np.diff(np.signbit(x)) != 0).mean()) if n > 1 else 0.0
+                clip = float((np.abs(s) >= 32767).mean()) if n else 0.0
+                sil = float((np.abs(x) < 1e-3).mean()) if n else 1.0
+                rows.append(
+                    (aid, sr, n, n / sr, rms, zcr, clip, sil)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "audio_id", "sr", "n_samples", "duration_sec",
+                    "rms", "zero_cross_rate", "clip_frac", "silence_frac",
+                ],
+            )
+
+    return df.select("audio_id", "bytes").mapInPandas(fn, AUDIO_STATS_DDL)
+
+
+def audio_features(df: DataFrame, n_bands: int = 8) -> DataFrame:
+    """Real spectral features via numpy rFFT: log energy in ``n_bands``
+    equal-width frequency bands plus the spectral centroid — a
+    deterministic stand-in for a learned audio embedding with identical
+    plumbing (binary in, array<float> out, Arrow-batched)."""
+    from ..sources import wavcodec
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
+                s, sr = wavcodec.decode_wav(bytes(data))
+                if s.ndim == 2:
+                    s = s.mean(axis=1)
+                x = s.astype(np.float64) / 32768.0
+                spec = np.abs(np.fft.rfft(x)) ** 2
+                freqs = np.fft.rfftfreq(len(x), 1.0 / sr)
+                total = float(spec.sum())
+                centroid = float((freqs * spec).sum() / total) if total > 0 else 0.0
+                edges = np.linspace(0, len(spec), n_bands + 1).astype(int)
+                bands = [
+                    float(np.log1p(spec[edges[b] : edges[b + 1]].sum()))
+                    for b in range(n_bands)
+                ]
+                ids.append(aid)
+                feats.append(bands + [centroid])
+            yield pd.DataFrame({"audio_id": ids, "features": feats})
+
+    return df.select("audio_id", "bytes").mapInPandas(fn, AUDIO_FEATURES_DDL)
+
+
+def synth_audio_table(spark, n: int) -> DataFrame:
+    """Distributed deterministic audio table (audio_id, bytes, sr): real
+    WAV bytes generated per partition — same no-driver-materialization
+    shape as sources.synth.synth_spark."""
+    from ..sources import wavcodec
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "audio_id": [f"aud_{i:08d}" for i in ids],
+                    "bytes": [
+                        wavcodec.encode_wav(wavcodec.synth_clip(int(i)))
+                        for i in ids
+                    ],
+                    "sr": [16000] * len(ids),
+                }
+            )
+
+    return spark.range(n).mapInPandas(gen, "audio_id string, bytes binary, sr int")
+
+
 # --- video-style container: length-prefixed concatenated frames -------------
 
 def pack_frames(frames: list[bytes]) -> bytes:

@@ -50,6 +50,13 @@ def _multimodal_features(spark, sf_dir):
 
     return multimodal.extract_features(synth_spark(spark, 500))
 
+
+def _multimodal_audio_stats(spark, sf_dir):
+    """Real-WAV decode + quality stats over a deterministic synthetic
+    audio table (binary column; rows-only check — DuckDB cannot decode
+    WAV; the numpy reference parity is pinned in pytest instead)."""
+    return multimodal.audio_stats(multimodal.synth_audio_table(spark, 300))
+
 # ---------------------------------------------------------------------------
 # Oracle SQL fragments shared across queries (mirror operators/*.py).
 # ---------------------------------------------------------------------------
@@ -732,6 +739,7 @@ ORACLES: dict[str, str | None] = {
     # --- multimodal (binary image columns): no SQL decoder → rows-only ---
     "multimodal_decode_stats": None,
     "multimodal_features": None,
+    "multimodal_audio_stats": None,
 }
 
 SPARK_BUILDERS = {
@@ -790,6 +798,7 @@ SPARK_BUILDERS = {
     "pipeline_predict_documents": pipeline.predict_documents,
     "multimodal_decode_stats": _multimodal_decode_stats,
     "multimodal_features": _multimodal_features,
+    "multimodal_audio_stats": _multimodal_audio_stats,
 }
 
 assert set(ORACLES) == set(SPARK_BUILDERS)
