@@ -211,8 +211,11 @@ def pack_frames(frames: list[bytes]) -> bytes:
 
 def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
     """Frame-sample: explode every ``every``-th frame from the container
-    into its own row (binary). This is the mapInPandas row-expanding shape
-    a real video pipeline uses; only the container parser is a stand-in."""
+    into its own row (binary) — the mapInPandas row-expanding shape a
+    video pipeline uses. Dispatches by magic: REAL MJPEG AVI containers
+    (sources/avicodec.py) yield their raw per-frame JPEG payloads without
+    pixel-decoding anything (sampling is a container walk, not a decode);
+    the legacy FVID stand-in still parses; anything else raises."""
     import struct
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -220,10 +223,16 @@ def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
             rows = []
             for iid, data in zip(pdf["image_id"], pdf["bytes"]):
                 data = bytes(data)
+                if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                    frames = _avi_frame_payloads(data)
+                    for idx, frame in enumerate(frames):
+                        if idx % every == 0:
+                            rows.append((iid, idx, frame))
+                    continue
                 if data[:4] != b"FVID":
                     raise NotImplementedError(
-                        "real video containers need a decoder (ffmpeg) — "
-                        "not available in this environment"
+                        "unknown video container (not AVI/MJPEG or FVID) — "
+                        "other formats need a real decoder (ffmpeg)"
                     )
                 (n,) = struct.unpack(">I", data[4:8])
                 pos = 8
@@ -238,3 +247,27 @@ def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
             )
 
     return df.select("image_id", "bytes").mapInPandas(fn, FRAMES_DDL)
+
+
+def _avi_frame_payloads(data: bytes) -> list[bytes]:
+    """Raw '00dc'/'00db' chunk payloads (JPEG bytes) from an AVI, via the
+    same chunk walk as avicodec.decode_avi_mjpeg but WITHOUT decoding
+    pixels — frame sampling only touches container structure."""
+    import struct
+
+    out: list[bytes] = []
+
+    def walk(buf: bytes):
+        pos = 0
+        while pos + 8 <= len(buf):
+            tag = buf[pos : pos + 4]
+            (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            payload = buf[pos + 8 : pos + 8 + ln]
+            if tag == b"LIST":
+                walk(payload[4:])
+            elif tag in (b"00dc", b"00db"):
+                out.append(payload)
+            pos += 8 + ln + (ln & 1)
+
+    walk(data[12:])
+    return out
