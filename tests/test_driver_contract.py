@@ -23,6 +23,7 @@ def test_queries_and_oracles_consistent():
         "pipeline_predict_documents",
         "multimodal_decode_stats",
         "multimodal_features",
+        "multimodal_audio_stats",
         "sim_topk_cosine_fast",
     }
 
