@@ -51,6 +51,35 @@ def _multimodal_features(spark, sf_dir):
     return multimodal.extract_features(synth_spark(spark, 500))
 
 
+def _multimodal_resize(spark, sf_dir):
+    """Decode → nearest-neighbor resize → PNG re-encode (row-preserving
+    binary transform; rows-only — binary outputs)."""
+    from .sources.synth import synth_spark
+
+    return multimodal.resize(synth_spark(spark, 200), 8)
+
+
+def _multimodal_video_frames(spark, sf_dir):
+    """Frame-sample every 2nd frame from real MJPEG-AVI containers
+    (row-EXPANDING binary transform; rows-only)."""
+    import pandas as pd
+
+    from .sources import avicodec
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "image_id": [f"vid_{int(i):06d}" for i in pdf["id"]],
+                "bytes": [
+                    avicodec.encode_avi_mjpeg(avicodec.synth_video(int(i)))
+                    for i in pdf["id"]
+                ],
+            })
+
+    vids = spark.range(60).mapInPandas(gen, "image_id string, bytes binary")
+    return multimodal.sample_frames(vids, every=2)
+
+
 def _multimodal_audio_stats(spark, sf_dir):
     """Real-WAV decode + quality stats over a deterministic synthetic
     audio table (binary column; rows-only check — DuckDB cannot decode
@@ -740,6 +769,8 @@ ORACLES: dict[str, str | None] = {
     "multimodal_decode_stats": None,
     "multimodal_features": None,
     "multimodal_audio_stats": None,
+    "multimodal_resize": None,
+    "multimodal_video_frames": None,
 }
 
 SPARK_BUILDERS = {
@@ -799,6 +830,8 @@ SPARK_BUILDERS = {
     "multimodal_decode_stats": _multimodal_decode_stats,
     "multimodal_features": _multimodal_features,
     "multimodal_audio_stats": _multimodal_audio_stats,
+    "multimodal_resize": _multimodal_resize,
+    "multimodal_video_frames": _multimodal_video_frames,
 }
 
 assert set(ORACLES) == set(SPARK_BUILDERS)

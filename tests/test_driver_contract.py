@@ -24,6 +24,8 @@ def test_queries_and_oracles_consistent():
         "multimodal_decode_stats",
         "multimodal_features",
         "multimodal_audio_stats",
+        "multimodal_resize",
+        "multimodal_video_frames",
         "sim_topk_cosine_fast",
     }
 

@@ -49,6 +49,11 @@ def main():
         "join_anti_inactive",
         "events_sessionize",
         "tfidf_top_terms",
+        # round-2 scale-path queries
+        "dedup_jaccard_candidates",
+        "dedup_embedding_cosine",
+        "ann_search_multiprobe",
+        "ann_search_ivf",
     ]
     out = ["# PLANS — formatted physical plans for load-bearing queries", ""]
     for name in picks:
