@@ -207,33 +207,55 @@ def ann_ivf_search(
     runs only on probed candidates; deterministic top-10."""
     anchors = _anchor_literals(spark, sf_dir, n_centroids)
     scores = _cell_scores_sql(anchors)
+
+    # Resolve the query's probe cells DRIVER-SIDE, like a real IVF index
+    # lookup: one head() for the query vector, then plain-Python sequential
+    # folds over the same literal anchors the SQL uses — sequential double
+    # arithmetic is bit-identical to the engines' left folds, so the probe
+    # set matches the oracle's SQL-computed ranking exactly. This leaves
+    # the distributed part as ONE map-only scan with a literal IN filter
+    # (at scale: n_probe partitions of a cell-partitioned table) instead of
+    # three scans + two broadcast subplans (measured 5.4 s → ~1 s at 5k).
+    qv = [
+        float(x)
+        for x in table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .head()[0]
+    ]
+
+    def _dot(u, v):
+        acc = 0.0
+        for a, b in zip(u, v):
+            acc = acc + a * b
+        return acc
+
+    qscore = {
+        aid: 2.0 * _dot(qv, c) - _dot(c, c) for aid, c in anchors.items()
+    }
+    probe = [
+        aid for aid, _ in sorted(qscore.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:n_probe]
+
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    # argmax = first position of the max (ties → smallest cell id, matching
-    # the oracle's ORDER BY score DESC, cell ASC)
-    cells = e.withColumn(
-        "cell", F.expr(f"array_position({scores}, array_max({scores}))")
+    # the scores array is a NAMED column so the 8×64-dim literal folds run
+    # once per row; argmax = first position of the max (ties → smallest
+    # cell id, matching the oracle's ORDER BY score DESC, cell ASC)
+    cells = e.withColumn("sc", F.expr(scores)).withColumn(
+        "cell", F.expr("array_position(sc, array_max(sc))")
     )
-    q = cells.where(F.col("vec_id") == query_vec_id).select(
-        F.col("v").alias("qv"), F.expr(scores).alias("qscores")
-    )
-    qcells = (
-        q.select(F.posexplode("qscores").alias("pos", "score"))
-        .select((F.col("pos") + 1).alias("cell"), "score")
-        .orderBy(F.col("score").desc(), "cell")
-        .limit(n_probe)
-        .select("cell")
-    )
-    qv = q.select("qv")
-    cand = cells.join(F.broadcast(qcells), "cell").join(F.broadcast(qv))
+    qarr = "array(" + ", ".join(repr(x) for x in qv) + ")"
     cos = F.round(
-        F.expr(_DOT.format(u="v", v="qv"))
-        / (F.expr(_NORM.format(u="v")) * F.expr(_NORM.format(u="qv"))),
+        F.expr(_DOT.format(u="v", v=qarr))
+        / (F.expr(_NORM.format(u="v")) * F.expr(_NORM.format(u=qarr))),
         4,
     )
     return (
-        cand.where(F.col("vec_id") != query_vec_id)
+        cells.where(
+            F.col("cell").isin(probe) & (F.col("vec_id") != query_vec_id)
+        )
         .select("vec_id", F.col("cell").cast("bigint").alias("cell"), cos.alias("cos"))
         .orderBy(F.col("cos").desc(), "vec_id")
         .limit(10)
