@@ -103,3 +103,19 @@ def test_dedup_exact_partial_aggregation(spark):
     plan = _plan(dedup.exact_dedup(spark, SF))
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange") == 1
+
+
+def test_dedup_group_min_has_no_window(spark):
+    """The band-group min must be groupBy+join (AQE-splittable), never a
+    Window over (band, band_key) — a hot band group under a Window sorts
+    in ONE task, the skew shape template-heavy corpora trigger. Guards
+    minhash_survivors, dedup_clusters and jaccard_candidates at once
+    (they share _with_grp_min)."""
+    from pii_detection_service_spark.operators import dedup
+
+    for builder in (dedup.minhash_survivors, dedup.jaccard_candidates):
+        plan = (
+            builder(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan, plan[:1500]
+        assert "HashAggregate" in plan  # the group-min partial aggregate

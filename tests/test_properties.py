@@ -100,3 +100,39 @@ def test_fbeta_bounds(a, b):
     assert 0.0 <= f5 <= 1.0
     if a[:n] == b[:n]:
         assert f5 == 1.0
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(4, 40),
+    st.integers(4, 40),
+    st.integers(0, 2**32 - 1),
+)
+def test_jpeg_roundtrip_any_shape(h, w, seed):
+    """Baseline JPEG at quality 98 must round-trip ANY image shape
+    (including non-multiples of 8 and extreme aspect ratios) with the
+    exact dimensions back and PSNR well above the lossy floor for
+    arbitrary uniform-noise content."""
+    import numpy as np
+
+    from pii_detection_service_spark.sources import imagecodec, jpegcodec
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = jpegcodec.decode_baseline_jpeg(jpegcodec.encode_baseline_jpeg(px, 98))
+    assert out.shape == (h, w, 3)
+    assert imagecodec.psnr(px, out) >= 38.0
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 3000), st.booleans())
+def test_wav_roundtrip_any_length(n, stereo):
+    import numpy as np
+
+    from pii_detection_service_spark.sources import wavcodec
+
+    rng = np.random.default_rng(n)
+    shape = (n, 2) if stereo else (n,)
+    s = rng.integers(-32768, 32767, shape, dtype=np.int16)
+    out, sr = wavcodec.decode_wav(wavcodec.encode_wav(s, 8000))
+    assert sr == 8000 and np.array_equal(s, out)
