@@ -159,10 +159,11 @@ def connected_components(
     starts labeled with its own id; each round, labels flow across edges and
     each node keeps the minimum seen; stop at fixpoint. Convergence needs
     O(diameter) rounds — on LSH star-edges (doc ↔ band-group min) the
-    diameter is tiny, so 2-4 rounds close even chained clusters. At 100 TB
-    you'd swap in the large-star/small-star variant (same primitive, fewer
-    rounds); the per-round plan here is already the right one: one shuffle
-    join + one min-aggregate, labels cached between rounds.
+    diameter is tiny, so 2-4 rounds close even chained clusters; for
+    high-diameter graphs use :func:`connected_components_star` (O(log n)
+    rounds, equality pinned by test). The per-round plan here is the right
+    one: one shuffle join + one min-aggregate, labels cached between
+    rounds.
 
     Two guards for deep graphs:
     - every ``checkpoint_every`` rounds the label table is
@@ -213,6 +214,96 @@ def connected_components(
             "returning labels here would silently split clusters — raise "
             "max_iters (diameter of the dup graph exceeds the cap)"
         )
+    return labels
+
+
+def connected_components_star(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    100 TB swap-in for :func:`connected_components`: min-label propagation
+    needs O(diameter) rounds, star contraction O(log n) on ANY graph, so
+    high-diameter dup graphs (long similarity chains) converge in a handful
+    of rounds instead of hundreds.
+
+    large-star: every node's neighbors LARGER than it re-attach to the
+    minimum of its neighborhood (incl. itself); small-star: the ≤ neighbors
+    do. Both keep components intact and monotonically pull edges toward the
+    component minimum; the fixpoint is a star forest centered on component
+    minima. Same per-round plan shape as the label version: one
+    groupBy-min + one join, both AQE-splittable, lineage truncated every
+    sub-round by localCheckpoint. Returns (doc_id, cluster) like connected_components;
+    equality on arbitrary graphs is pinned by test.
+    """
+    # undirected closure, no self-loops
+    und = (
+        edges.select("a", "b")
+        .unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .cache()
+    )
+    checksum = und.agg(
+        F.count(F.lit(1)), F.sum(F.col("a") + F.col("b"))
+    ).collect()[0]
+    cur = und
+    converged = cur.isEmpty()
+    for i in range(max_iters):
+        if converged:
+            break
+        for large in (True, False):
+            nbrs = cur.unionAll(
+                cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            mins = nbrs.groupBy("a").agg(F.min("b").alias("mb"))
+            mins = mins.select(
+                "a", F.least(F.col("a"), F.col("mb")).alias("m")
+            )
+            joined = nbrs.join(mins, "a")
+            if large:
+                out = joined.where(F.col("b") > F.col("a"))
+            else:
+                out = joined.where(F.col("b") <= F.col("a")).unionAll(
+                    joined.select("a", F.col("a").alias("b"), "m")
+                )
+            nxt = (
+                out.select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .where(F.col("a") != F.col("b"))
+                .distinct()
+            )
+            # checkpoint EVERY sub-round: the neighborhood closure
+            # references `cur` twice, so an un-truncated plan tree DOUBLES
+            # per round (exponential — a cached-only variant OOMed the
+            # driver on plan tree strings by round ~12)
+            nxt = nxt.localCheckpoint(eager=True)
+            new_checksum = nxt.agg(
+                F.count(F.lit(1)), F.sum(F.col("a") + F.col("b"))
+            ).collect()[0]
+            cur.unpersist()
+            cur = nxt
+            if not large:
+                if tuple(new_checksum) == tuple(checksum):
+                    converged = True
+                checksum = new_checksum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} "
+            "rounds — raise max_iters"
+        )
+    # fixpoint is a star forest: every non-root points at its component
+    # minimum; roots/singletons label themselves
+    attach = cur.groupBy("a").agg(F.min("b").alias("cluster"))
+    labels = (
+        nodes.join(attach, nodes["doc_id"] == attach["a"], "left")
+        .select(
+            "doc_id",
+            F.least(F.coalesce("cluster", F.col("doc_id")), F.col("doc_id")).alias(
+                "cluster"
+            ),
+        )
+    )
+    und.unpersist()
     return labels
 
 

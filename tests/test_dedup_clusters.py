@@ -86,3 +86,56 @@ def test_deep_chain_converges_with_bounded_plan(spark):
     # that grew linearly with all 14 rounds (~10 lines per round).
     plan = labels._jdf.queryExecution().analyzed().toString()
     assert plan.count("\n") < 40, f"plan not truncated:\n{plan[:2000]}"
+
+
+def test_star_variant_matches_min_label_on_arbitrary_graphs(spark):
+    """connected_components_star (large-star/small-star, O(log n) rounds)
+    must produce EXACTLY the labels of min-label propagation on chains,
+    random graphs, and forests of stars with singletons."""
+    import random
+
+    cases = []
+    # 20-node chain (worst diameter)
+    cases.append((list(range(1, 21)), [(i, i + 1) for i in range(1, 20)]))
+    # seeded random graphs
+    for seed in (5, 17):
+        rnd = random.Random(seed)
+        nodes = list(range(1, 61))
+        es = [
+            (u, v)
+            for u in nodes
+            for v in nodes
+            if u < v and rnd.random() < 0.04
+        ]
+        cases.append((nodes, es))
+    # two stars + singletons
+    cases.append(
+        ([1, 2, 3, 4, 10, 11, 12, 99, 100],
+         [(1, 2), (1, 3), (1, 4), (10, 11), (10, 12)])
+    )
+    for nodes, es in cases:
+        ndf = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+        edf = spark.createDataFrame(
+            es + [(b, a) for a, b in es] if es else [], "a long, b long"
+        ) if es else spark.createDataFrame([], "a long, b long")
+        want = {
+            r["doc_id"]: r["cluster"]
+            for r in dedup.connected_components(ndf, edf).collect()
+        }
+        got = {
+            r["doc_id"]: r["cluster"]
+            for r in dedup.connected_components_star(ndf, edf).collect()
+        }
+        assert got == want, (len(nodes), len(es))
+
+
+def test_star_variant_converges_fast_on_long_chain(spark):
+    """A 24-node path has diameter 23 — min-label needs ~23 rounds, the
+    star variant must close in far fewer (O(log n)); pinned by giving it
+    only 8 rounds."""
+    nodes, edges = _chain(spark, 24)
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in dedup.connected_components_star(nodes, edges, max_iters=8).collect()
+    }
+    assert got == {i: 1 for i in range(1, 25)}
