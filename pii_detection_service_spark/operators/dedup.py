@@ -244,9 +244,16 @@ def connected_components_star(
         .distinct()
         .cache()
     )
-    checksum = und.agg(
-        F.count(F.lit(1)), F.sum(F.col("a") + F.col("b"))
-    ).collect()[0]
+    # Fixpoint test: edge sets are DISTINCT (a, b) sets, so equal
+    # (count, sum of a 64-bit per-edge hash) across consecutive rounds is a
+    # sound set-equality check up to a 2^-64-scale hash-sum collision —
+    # unlike (count, sum(a+b)), where different edge sets collide easily
+    # (edges are not 1:1 across star rounds). One scalar aggregate per
+    # sub-round, same cost shape as before.
+    # decimal(38,0) sum: int64 hash values would overflow a long sum under
+    # ANSI mode; the decimal accumulator is exact and order-independent
+    _edge_sum = F.sum(F.xxhash64("a", "b").cast("decimal(38,0)"))
+    checksum = und.agg(F.count(F.lit(1)), _edge_sum).collect()[0]
     cur = und
     converged = cur.isEmpty()
     for i in range(max_iters):
@@ -277,9 +284,7 @@ def connected_components_star(
             # per round (exponential — a cached-only variant OOMed the
             # driver on plan tree strings by round ~12)
             nxt = nxt.localCheckpoint(eager=True)
-            new_checksum = nxt.agg(
-                F.count(F.lit(1)), F.sum(F.col("a") + F.col("b"))
-            ).collect()[0]
+            new_checksum = nxt.agg(F.count(F.lit(1)), _edge_sum).collect()[0]
             cur.unpersist()
             cur = nxt
             if not large:

@@ -26,8 +26,10 @@ def score_documents(spark, sf_dir) -> DataFrame:
     # cheaper than serializing the scoring on one task. At 100 TB the source
     # has thousands of splits and AQE handles layout — this guard only
     # triggers on small inputs.
+    # inputFiles() is an analysis-time file listing (no RDD conversion /
+    # deserializer setup like .rdd.getNumPartitions() forced per call)
     par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
+    if len(d.inputFiles()) < par:
         d = d.repartition(par)
     scored = d.mapInPandas(
         udfs.make_score_iter(["doc_id", "caption"]),

@@ -95,7 +95,10 @@ def decode_avi_mjpeg(data: bytes) -> tuple[list[np.ndarray], int]:
             if tag == b"LIST":
                 walk(payload[4:])  # skip list type fourcc, recurse
             elif tag == b"avih":
-                fps = 1_000_000 // struct.unpack("<I", payload[:4])[0]
+                # dwMicroSecPerFrame == 0 in a foreign/corrupt AVI must not
+                # ZeroDivisionError past the codec's honest-seam contract
+                uspf = struct.unpack("<I", payload[:4])[0]
+                fps = 1_000_000 // uspf if uspf else 0
             elif tag == b"strf" and len(payload) >= 20:
                 compression = payload[16:20]
             elif tag in (b"00dc", b"00db"):

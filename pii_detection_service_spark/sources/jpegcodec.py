@@ -202,7 +202,15 @@ def encode_baseline_jpeg(pixels: np.ndarray, quality: int = 92) -> bytes:
         coefs = np.einsum("ux,nxy,vy->nuv", _D, blocks, _D)
         qt = qts[0 if ci == 0 else 1].reshape(8, 8)
         quant = np.round(coefs / qt).astype(np.int32)
-        comp_zz.append(quant.reshape(-1, 64)[:, ZIGZAG])
+        zz = quant.reshape(-1, 64)[:, ZIGZAG]
+        # Baseline JPEG guarantees |AC| ≤ 1023 (the Annex-K AC tables stop
+        # at size 10): at quality ≥ 98 a quant entry clamps to 1 and a
+        # basis-aligned full-contrast block (e.g. a checkerboard) quantizes
+        # to ±1024, which would KeyError the table lookup. Clamp
+        # defensively — ≤ 1-step coefficient error on adversarial blocks,
+        # none on typical content.
+        np.clip(zz[:, 1:], -1023, 1023, out=zz[:, 1:])
+        comp_zz.append(zz)
 
     # entropy coding (interleaved MCUs; 4:4:4 → one block per component)
     tables = [
@@ -218,8 +226,13 @@ def encode_baseline_jpeg(pixels: np.ndarray, quality: int = 92) -> bytes:
         for ci in range(3):
             dc_tbl, ac_tbl = tables[0 if ci == 0 else 1]
             zz = comp_zz[ci][bi]
-            s, bits = _magnitude(int(zz[0]) - prev_dc[ci])
-            prev_dc[ci] = int(zz[0])
+            # DC diffs are provably ≤ 2040 for 8-bit input (|DC| ≤ 1024 at
+            # qt=1), but clamp to the baseline category-11 bound anyway;
+            # prev_dc tracks the value the DECODER reconstructs so a clamped
+            # diff can never desynchronize the prediction chain.
+            diff = min(max(int(zz[0]) - prev_dc[ci], -2047), 2047)
+            s, bits = _magnitude(diff)
+            prev_dc[ci] += diff
             code, length = dc_tbl[s]
             bw.write(code, length)
             if s:
