@@ -108,7 +108,15 @@ def main():
     )
     timed(
         "dedup_simhash",
-        lambda: len(dedup.simhash(spark, docs_dir).agg(F.sum("simhash16")).collect()),
+        lambda: len(
+            dedup.simhash(spark, docs_dir)
+            .agg(*[F.sum(f"sh{i}") for i in range(4)])
+            .collect()
+        ),
+    )
+    timed(
+        "dedup_simhash_candidates",
+        lambda: dedup.simhash_candidates(spark, docs_dir).count(),
     )
     timed(
         "dedup_clusters",

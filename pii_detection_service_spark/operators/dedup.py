@@ -8,7 +8,10 @@ Scale notes (timings: 5M-doc corpus, local[32] — BENCH/scale5m.json):
             once per row (51 s; the original inline per-shingle fold was
             599 s); candidate pairing happens on banded signature groupBy
             (shuffle keyed on small band strings).
-- simhash:  per-row map-only 16-bit sketch; near-dups = equal sketch (84 s).
+- simhash:  64-bit sketch as 4×16-bit band words via a vectorized Arrow
+            kernel (42-53 s; the r2 16-bit interpreted-HOF sketch was 84 s
+            AND collision-useless at 10^12 rows); candidates = shared band
+            word + Hamming ≤ 3 verify on star edges (46 s incl. sketch).
 - jaccard:  exact verify on LSH star-edge candidates (jaccard_candidates,
             56 s for 16.4M verified pairs — linear in corpus);
             jaccard_pairs keeps the blocked all-pairs baseline for recall
@@ -49,10 +52,6 @@ _SHINGLE_IDS_FROM_CS = (
     f"(element_at(cs, i) * {_BASE * _BASE}L + element_at(cs, i + 1) * {_BASE}L "
     "+ element_at(cs, i + 2)) % 1000000007))"
 )
-_HASH_ONE = "aggregate(transform(split({s}, ''), c -> ascii(c)), 0L, (acc, x) -> (acc * 31 + x) % 1000000007)"
-_WORD_HASHES = "transform(split(text, ' '), w -> " + _HASH_ONE.format(s="w") + ")"
-
-
 def _with_shingles(d: DataFrame) -> DataFrame:
     """(…, hs: array<bigint>) — distinct 3-gram shingle ids, computed once
     per row behind a named column so multi-consumer plans can't inline and
@@ -346,27 +345,189 @@ def dedup_clusters(spark, sf_dir) -> DataFrame:
     )
 
 
-def simhash(spark, sf_dir) -> DataFrame:
-    """16-bit SimHash over word hashes: bit b set iff the sum of ±1 votes
-    from each word's bit b is positive. Near-dups share the sketch.
+# --- 64-bit SimHash with Hamming banding -------------------------------------
+#
+# The r2 sketch was 16 bits matched by equality — at 10^12 rows that is pure
+# collision noise (~10^7 docs per sketch value) AND it was the slowest per-row
+# kernel (84 s at 5M: interpreted HOF votes). The r3 rework:
+#
+# - 64 genuine bits per word from two portable rolling hashes:
+#     h1 = fold (acc*31 + cp) % 1_000_000_007      (the repo-wide word hash)
+#     h2 = fold (acc*37 + cp) % 998_244_353
+#     g  = h1 * 998_244_353 + h2   — injective in (h1, h2), < 2^60 → 60 bits
+#     t  = (3*h1 + 5*h2) % 16      — 4 more independent bits
+#   Integer arithmetic only, so the Arrow/numpy kernel and the DuckDB oracle
+#   produce bit-identical sketches (unlike float kernels, no quantization).
+# - sketch = 4×16-bit band words sh0..sh3 (bit j of band i = global bit
+#   16i+j; band 3 packs g-bits 48..59 + the 4 t-bits). Keeping the bands as
+#   separate non-negative 16-bit columns sidesteps cross-engine sign
+#   semantics of a packed signed int64 while carrying the same 64 bits.
+# - candidates = docs sharing ANY band word (classic 4×16 simhash banding —
+#   guaranteed to catch every pair with Hamming distance ≤ 3), generated as
+#   STAR edges against the band-group minimum (linear in corpus size, the
+#   same skew-proof machinery as the minhash path), then verified with
+#   hamming = Σ bit_count(sh_i ^ sh_i') ≤ 3.
+#
+# The sketch runs as a VECTORIZED Arrow kernel (mapInPandas): the per-word
+# rolling hash folds column-at-a-time over a padded codepoint matrix, votes
+# are one (n_words × 64) bit-unpack + segment-sum — no per-char or per-bit
+# Python. This replaces the 84 s interpreted HOF form; the banding and
+# Hamming verify stay in JVM expressions.
 
-    Formulation note (measured at 5M docs, 32 cores): this per-bit outer
-    fold looks like it re-derives the word hashes 16×, but Spark's
-    subexpression elimination evaluates the _WORD_HASHES argument once per
-    row — 84 s total, dominated by the per-word rolling hash itself. Two
-    "optimized" rewrites were measured SLOWER and rejected: a zip_with
-    16-vote-vector fold (330 s — per-element array allocation dominates
-    interpreted HOF cost) and a packed-bitfield arithmetic accumulator
-    (282 s — one 5-element array allocation per word still loses to the
-    engine's own dedup). Keep the transparent form."""
-    d = table(spark, sf_dir, "documents")
-    sim = F.expr(
-        "aggregate(sequence(0, 15), 0L, (acc, b) -> acc + "
-        f"case when aggregate({_WORD_HASHES}, 0L, "
-        "(a, h) -> a + case when (h div shiftleft(1L, b)) % 2 = 1 then 1 else -1 end"
-        ") > 0 then shiftleft(1L, b) else 0L end)"
+_P1, _B1 = 1_000_000_007, 31
+_P2, _B2 = 998_244_353, 37
+SIMHASH_MAX_HAMMING = 3
+
+
+def _simhash64_kernel(texts) -> "np.ndarray":
+    """(n_docs, 4) int64 array of 16-bit band words — vectorized numpy
+    implementation of the sketch definition above. Exact integer math:
+    bit-identical to the DuckDB oracle's per-word SQL folds.
+
+    Memory-bandwidth note (measured at 5M docs, 32 concurrent workers):
+    the obvious formulation — an (n_words × 64) int64 shift matrix plus an
+    equal-size ±1 votes matrix — moves ~1 GB of temporaries per 10k-row
+    batch and the 32 workers saturate DRAM (183 s for 5M). This version
+    keeps word-level intermediates at 1–8 bytes/row:
+    - rolling hashes fold over CONTIGUOUS prefix slices of length-sorted
+      words (no per-column boolean fancy indexing);
+    - all 64 bits are packed into one int64 bit pattern and exploded with a
+      single np.unpackbits pass (uint8, 8 B/word total);
+    - vote sums use 2·Σbits − n_words, so no ±1 matrix ever exists, and
+      reduceat accumulates straight into an int64 doc-level array.
+    Net: 42 s for the 5M sketch (was 183 s naive numpy, 84 s for the
+    16-bit interpreted-HOF sketch it replaces)."""
+    import numpy as np
+
+    words: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        counts[i] = len(ws)
+        words.extend(ws)
+    n = len(words)
+    if n == 0:
+        return np.zeros((len(texts), 4), dtype=np.int64)
+    lens = np.fromiter((len(w) for w in words), dtype=np.int64, count=n)
+    # one utf-32 decode for the whole batch
+    flat = np.frombuffer("".join(words).encode("utf-32-le"), dtype=np.uint32)
+    flat = flat.astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    # process words longest-first: the words still active at char position c
+    # form the prefix [0:k_c) — contiguous slices instead of masked updates
+    order = np.argsort(-lens, kind="stable")
+    lens_s = lens[order]
+    starts_s = starts[order]
+    maxlen = int(lens_s[0])
+    # k_c = number of words with length > c  (lens_s is descending)
+    k_for = np.searchsorted(-lens_s, -(np.arange(maxlen)), side="left")
+    h1 = np.zeros(n, dtype=np.int64)
+    h2 = np.zeros(n, dtype=np.int64)
+    for c in range(maxlen):
+        k = k_for[c]
+        cv = flat[starts_s[:k] + c]
+        h1[:k] = (h1[:k] * _B1 + cv) % _P1
+        h2[:k] = (h2[:k] * _B2 + cv) % _P2
+    # unsort back to corpus word order
+    inv = np.empty(n, dtype=np.int64)
+    inv[order] = np.arange(n)
+    h1, h2 = h1[inv], h2[inv]
+    g = h1 * _P2 + h2                      # < 2^60, exact int64
+    t = (3 * h1 + 5 * h2) % 16
+    # all 64 bits as ONE int64 bit pattern (t<<60 may set the sign bit —
+    # irrelevant, only the bit pattern is read), exploded in a single
+    # C-level unpackbits pass: (n_words, 64) uint8
+    full = g | (t << 60)
+    bits = np.unpackbits(
+        full.astype("<i8").view(np.uint8).reshape(n, 8), axis=1, bitorder="little"
     )
-    return d.select("doc_id", sim.alias("simhash16"))
+    ends = np.cumsum(counts)
+    offs = np.concatenate(([0], ends[:-1]))
+    sums = np.add.reduceat(bits, offs, axis=0, dtype=np.int64)  # Σ bits per doc
+    # Σ votes = 2·Σ bits − n_words  (votes are ±1)
+    sketch_bits = (2 * sums > counts[:, None]).astype(np.int64)
+    weights = 1 << np.arange(16, dtype=np.int64)
+    return sketch_bits.reshape(len(texts), 4, 16) @ weights
+
+
+def simhash64_sketch(d: DataFrame) -> DataFrame:
+    """(doc_id, sh0..sh3) — the 64-bit simhash of ``text`` as 4×16-bit band
+    words, via the vectorized Arrow kernel."""
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            sk = _simhash64_kernel(pdf["text"].tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sh0": sk[:, 0], "sh1": sk[:, 1],
+                    "sh2": sk[:, 2], "sh3": sk[:, 3],
+                }
+            )
+
+    return d.select("doc_id", "text").mapInPandas(
+        fn, "doc_id long, sh0 long, sh1 long, sh2 long, sh3 long"
+    )
+
+
+def simhash(spark, sf_dir) -> DataFrame:
+    """64-bit SimHash sketch query (driver-oracled: the DuckDB twin refolds
+    the integer hashes in SQL — exact, no quantization)."""
+    return simhash64_sketch(table(spark, sf_dir, "documents"))
+
+
+def simhash64_candidates(
+    d: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """Near-dup candidate pairs by 4×16 simhash banding + Hamming verify.
+
+    Shape mirrors jaccard_candidates: ONE posexplode into (band, band_key)
+    rows, star edges against the skew-proof band-group minimum (groupBy +
+    join, never a Window over a hot band), sketches re-attached to the
+    candidate edges only, hamming ≤ max_hamming filter. Any pair within
+    Hamming distance 3 shares at least one of the 4 bands (pigeonhole), so
+    banding loses nothing vs all-pairs at linear cost."""
+    # The sketch plan is consumed 4× below (band explode, group-min
+    # join-back, both sides of the pair join) — materialize the Arrow
+    # kernel's output ONCE (5 longs/doc ≈ 40 B/row) instead of re-running
+    # it per consumer. At 100 TB this is the sketch table a real pipeline
+    # persists anyway; localCheckpoint is the single-job equivalent.
+    sk = simhash64_sketch(d).localCheckpoint(eager=False)
+    bands = sk.select(
+        "doc_id",
+        F.posexplode(F.array("sh0", "sh1", "sh2", "sh3")).alias(
+            "band", "band_key"
+        ),
+    )
+    star = _with_grp_min(bands)
+    cand = (
+        star.where(F.col("doc_id") != F.col("grp_min"))
+        .select(F.col("grp_min").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sk.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sh{i}").alias(f"a{i}") for i in range(4)],
+    )
+    b = sk.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sh{i}").alias(f"b{i}") for i in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}"))) for i in range(4)
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("hamming", "doc_a", "doc_b")
+    )
+
+
+def simhash_candidates(spark, sf_dir) -> DataFrame:
+    return simhash64_candidates(table(spark, sf_dir, "documents"))
 
 
 def jaccard_candidates(spark, sf_dir) -> DataFrame:
