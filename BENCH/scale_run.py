@@ -118,10 +118,12 @@ def main():
         "dedup_simhash_candidates",
         lambda: dedup.simhash_candidates(spark, docs_dir).count(),
     )
+    cc_tel: dict = {}
     timed(
         "dedup_clusters",
-        lambda: dedup.dedup_clusters(spark, docs_dir).count(),
+        lambda: dedup.dedup_clusters(spark, docs_dir, telemetry=cc_tel).count(),
     )
+    print(f"  dedup_clusters telemetry: {cc_tel}", file=sys.stderr)
     timed(
         "jaccard_candidates",
         lambda: dedup.jaccard_candidates(spark, docs_dir).count(),

@@ -153,6 +153,7 @@ def connected_components(
     edges: DataFrame,
     max_iters: int = 50,
     checkpoint_every: int = 5,
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation: every node
     starts labeled with its own id; each round, labels flow across edges and
@@ -205,6 +206,8 @@ def connected_components(
         labels = new_labels
         if new_checksum == checksum:
             converged = True
+            if telemetry is not None:
+                telemetry.update(variant="label_propagation", rounds=i + 1)
             break
         checksum = new_checksum
     if not converged:
@@ -216,8 +219,38 @@ def connected_components(
     return labels
 
 
+def connected_components_auto(
+    nodes: DataFrame,
+    edges: DataFrame,
+    switch_after: int = 10,
+    max_iters: int = 50,
+    telemetry: dict | None = None,
+) -> DataFrame:
+    """Connected components with an automatic O(log n) fallback: min-label
+    propagation (cheapest per round, O(diameter) rounds — converges in 2-4
+    rounds on LSH star edges) up to ``switch_after`` rounds; if the graph's
+    diameter exceeds that, rerun with the large-star/small-star contraction
+    (O(log n) rounds on ANY graph) instead of grinding out hundreds of
+    propagation rounds. Output equality of the two variants is pinned by
+    tests on chains/random graphs/forests; ``telemetry`` (optional dict)
+    records which variant finished and its round count."""
+    try:
+        return connected_components(
+            nodes, edges, max_iters=switch_after, telemetry=telemetry
+        )
+    except RuntimeError:
+        if telemetry is not None:
+            telemetry["fallback_after"] = switch_after
+        return connected_components_star(
+            nodes, edges, max_iters=max_iters, telemetry=telemetry
+        )
+
+
 def connected_components_star(
-    nodes: DataFrame, edges: DataFrame, max_iters: int = 50
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iters: int = 50,
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
@@ -255,6 +288,8 @@ def connected_components_star(
     checksum = und.agg(F.count(F.lit(1)), _edge_sum).collect()[0]
     cur = und
     converged = cur.isEmpty()
+    if converged and telemetry is not None:
+        telemetry.update(variant="star", rounds=0)
     for i in range(max_iters):
         if converged:
             break
@@ -289,6 +324,8 @@ def connected_components_star(
             if not large:
                 if tuple(new_checksum) == tuple(checksum):
                     converged = True
+                    if telemetry is not None:
+                        telemetry.update(variant="star", rounds=i + 1)
                 checksum = new_checksum
     if not converged:
         raise RuntimeError(
@@ -311,7 +348,7 @@ def connected_components_star(
     return labels
 
 
-def dedup_clusters(spark, sf_dir) -> DataFrame:
+def dedup_clusters(spark, sf_dir, telemetry: dict | None = None) -> DataFrame:
     """Transitive near-dup clustering — the endgame of MinHash dedup: a doc
     sharing a band with B, where B shares a *different* band with C, must
     land in ONE cluster (single-round survivor rules miss the A~C link).
@@ -336,7 +373,7 @@ def dedup_clusters(spark, sf_dir) -> DataFrame:
         .where(F.length("text") >= 3)
         .select("doc_id")
     )
-    labels = connected_components(nodes, und)
+    labels = connected_components_auto(nodes, und, telemetry=telemetry)
     und.unpersist()
     return labels.select(
         "doc_id",

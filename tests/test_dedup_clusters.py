@@ -139,3 +139,46 @@ def test_star_variant_converges_fast_on_long_chain(spark):
         for r in dedup.connected_components_star(nodes, edges, max_iters=8).collect()
     }
     assert got == {i: 1 for i in range(1, 25)}
+
+
+def test_auto_fallback_engages_on_high_diameter_and_matches(spark):
+    """A 60-node chain exceeds a 3-round label-propagation budget: the auto
+    variant must fall back to star contraction, record that in telemetry,
+    and still produce the exact min-label clustering."""
+    n = 60
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    raw = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        raw + [(b, a) for a, b in raw], "a long, b long"
+    )
+    tel = {}
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in dedup.connected_components_auto(
+            nodes, edges, switch_after=3, telemetry=tel
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    assert tel["fallback_after"] == 3 and tel["variant"] == "star"
+    assert tel["rounds"] >= 1
+
+
+def test_auto_stays_on_label_propagation_for_shallow_graphs(spark):
+    """LSH star-edge graphs converge in a few rounds — the auto variant must
+    NOT pay the star-contraction constant there, and telemetry reports the
+    round count."""
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (4,)], "doc_id long")
+    raw = [(2, 1), (3, 1), (4, 3)]
+    edges = spark.createDataFrame(
+        raw + [(b, a) for a, b in raw], "a long, b long"
+    )
+    tel = {}
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in dedup.connected_components_auto(
+            nodes, edges, telemetry=tel
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+    assert tel["variant"] == "label_propagation"
+    assert "fallback_after" not in tel and 1 <= tel["rounds"] <= 10
