@@ -24,14 +24,56 @@ from pyspark.sql import DataFrame
 from ..functions import textref
 
 
-def merge_update(base: DataFrame, updates: DataFrame, key: str, cols: list[str]) -> DataFrame:
+# Above this many update rows the broadcast MERGE shape stops being safe:
+# a broadcast side must fit in every executor AND the driver, and a bulk
+# relabel batch (reference A13 semantics at 10^12-row scale) can be
+# arbitrarily large. The shuffled path sort-merge-joins on the key instead.
+MERGE_BROADCAST_MAX_ROWS = 100_000
+
+
+def _merge_strategy(updates: DataFrame, strategy: str) -> str:
+    """Resolve 'auto' to 'broadcast' or 'shuffle' by the updates-side size.
+
+    The count is one action over the UPDATES side only — by definition the
+    small side of a MERGE (point updates: trivial; bulk batch: one scan of
+    the batch, negligible vs the merge it gates). limit(max+1) caps the
+    work: the count can stop as soon as the threshold is provably crossed."""
+    if strategy != "auto":
+        return strategy
+    n = updates.limit(MERGE_BROADCAST_MAX_ROWS + 1).count()
+    return "broadcast" if n <= MERGE_BROADCAST_MAX_ROWS else "shuffle"
+
+
+def _joinable(u: DataFrame, strategy: str) -> DataFrame:
+    """Apply the join-strategy hint for the updates side: broadcast for
+    point updates, an explicit sort-merge hint otherwise (guarantees no
+    BroadcastExchange regardless of autoBroadcastJoinThreshold — the plan
+    guard in tests/test_merge_multimodal.py pins this)."""
+    if strategy == "broadcast":
+        return F.broadcast(u)
+    if strategy == "shuffle":
+        return u.hint("merge")
+    raise ValueError(f"unknown merge strategy {strategy!r}")
+
+
+def merge_update(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str,
+    cols: list[str],
+    strategy: str = "auto",
+) -> DataFrame:
     """F4 — filtered UPDATE as MERGE: rows matching ``updates`` on ``key``
     take the update's values for ``cols``; everything else passes through.
-    Broadcast the updates side when it is small (point updates)."""
+
+    ``strategy``: 'broadcast' (point updates — dimension side ships to every
+    executor, no shuffle of ``base``), 'shuffle' (bulk batches — sort-merge
+    join keyed on ``key``; both sides shuffle but nothing must fit in one
+    JVM), or 'auto' (pick by updates-side row count)."""
     u = updates.select(
         F.col(key), *[F.col(c).alias(f"__u_{c}") for c in cols]
     )
-    joined = base.join(F.broadcast(u), key, "left")
+    joined = base.join(_joinable(u, _merge_strategy(updates, strategy)), key, "left")
     out = joined
     for c in cols:
         out = out.withColumn(c, F.coalesce(F.col(f"__u_{c}"), F.col(c)))
@@ -43,7 +85,9 @@ def delete_where(base: DataFrame, predicate) -> DataFrame:
     return base.where(~predicate)
 
 
-def apply_label_validations(docs: DataFrame, updates: DataFrame) -> DataFrame:
+def apply_label_validations(
+    docs: DataFrame, updates: DataFrame, strategy: str = "auto"
+) -> DataFrame:
     """A10 + A13 — batch of human relabels applied BIO-correctly.
 
     ``docs``:    (doc_id, tokens array<string>, labels array<string>,
@@ -52,11 +96,17 @@ def apply_label_validations(docs: DataFrame, updates: DataFrame) -> DataFrame:
                  addresses the *merged display token* (backend variant A4
                  over sentinel-stripped tokens), exactly like the reference's
                  /update-labels endpoint (backend_service_app.py:360-397).
+    ``strategy``: join strategy for the updates side — 'broadcast' for the
+                 interactive point-relabel shape, 'shuffle' (sort-merge on
+                 doc_id) for bulk validation batches that exceed broadcast
+                 size, 'auto' to pick by updates-side row count.
     """
     upd = updates.groupBy("doc_id").agg(
         F.collect_list(F.struct("token_index", "new_label")).alias("upds")
     )
-    joined = docs.join(F.broadcast(upd), "doc_id", "left")
+    joined = docs.join(
+        _joinable(upd, _merge_strategy(updates, strategy)), "doc_id", "left"
+    )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -98,3 +98,67 @@ def test_frame_sampling(spark):
     assert np.array_equal(
         imagecodec.decode_png(bytes(out[1]["frame_bytes"])), synth.pixels_for(2, 8)
     )
+
+
+def _base_updates(spark, n=40):
+    base = spark.createDataFrame(
+        [(i, f"text {i}", "en") for i in range(n)],
+        "doc_id long, text string, lang string",
+    )
+    updates = spark.createDataFrame(
+        [(i, f"edited {i}") for i in range(0, n, 3)],
+        "doc_id long, text string",
+    )
+    return base, updates
+
+
+def test_merge_shuffle_strategy_has_no_broadcast_and_matches(spark):
+    """The bulk-batch MERGE path: strategy='shuffle' must produce a plan
+    with NO BroadcastExchange (a validated-labels batch at 10^12-row scale
+    can exceed broadcast size) and byte-identical results to the broadcast
+    path."""
+    base, updates = _base_updates(spark)
+    bc = merge.merge_update(base, updates, "doc_id", ["text"], strategy="broadcast")
+    sh = merge.merge_update(base, updates, "doc_id", ["text"], strategy="shuffle")
+    plan_sh = sh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan_sh
+    plan_bc = bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan_bc
+    assert sorted(map(tuple, sh.collect())) == sorted(map(tuple, bc.collect()))
+
+
+def test_merge_auto_picks_by_updates_size(spark):
+    base, updates = _base_updates(spark)
+    auto = merge.merge_update(base, updates, "doc_id", ["text"], strategy="auto")
+    # small updates side → auto resolves to broadcast
+    assert "BroadcastExchange" in auto._jdf.queryExecution().executedPlan().toString()
+    old = merge.MERGE_BROADCAST_MAX_ROWS
+    merge.MERGE_BROADCAST_MAX_ROWS = 5  # force the bulk path
+    try:
+        auto2 = merge.merge_update(base, updates, "doc_id", ["text"], strategy="auto")
+        assert "BroadcastExchange" not in auto2._jdf.queryExecution().executedPlan().toString()
+        assert sorted(map(tuple, auto2.collect())) == sorted(map(tuple, auto.collect()))
+    finally:
+        merge.MERGE_BROADCAST_MAX_ROWS = old
+
+
+def test_label_validation_shuffle_parity(spark):
+    """apply_label_validations over the sort-merge path must match the
+    broadcast path row-for-row (same Arrow splice kernel downstream)."""
+    docs = spark.createDataFrame(
+        [
+            (1, ["[CLS]", "▁jo", "hn", "▁works", "[SEP]"],
+             ["O", "B-NAME_STUDENT", "I-NAME_STUDENT", "O", "O"], None),
+            (2, ["[CLS]", "▁a", "▁b", "[SEP]"], ["O", "O", "O", "O"], None),
+        ],
+        "doc_id long, tokens array<string>, labels array<string>, "
+        "validated_labels array<string>",
+    )
+    updates = spark.createDataFrame(
+        [(1, 1, "O")], "doc_id long, token_index int, new_label string"
+    )
+    a = merge.apply_label_validations(docs, updates, strategy="broadcast").collect()
+    b = merge.apply_label_validations(docs, updates, strategy="shuffle").collect()
+    key = lambda r: r["doc_id"]
+    for ra, rb in zip(sorted(a, key=key), sorted(b, key=key)):
+        assert ra == rb
