@@ -141,6 +141,40 @@ def audio_stats(df: DataFrame) -> DataFrame:
     return df.select("audio_id", "bytes").mapInPandas(fn, AUDIO_STATS_DDL)
 
 
+# --- audio keep/drop heuristics (the audio analog of quality.keep_decision:
+# first failing rule wins, '' when kept; rule order is part of the contract) --
+AUDIO_MIN_DURATION_SEC = 0.1
+AUDIO_MAX_CLIP_FRAC = 0.01
+AUDIO_MIN_RMS = 0.01
+AUDIO_MAX_SILENCE_FRAC = 0.25
+
+
+def audio_keep_decision(stats: DataFrame) -> DataFrame:
+    """Keep/drop rule chain over :func:`audio_stats` output — the gate a
+    training-data pipeline runs on audio clips: too_short (sub-0.1 s),
+    clipped (saturated samples), too_quiet (RMS floor), silent (dominant
+    near-silence). Pure column expressions (JVM-side); the stats themselves
+    come from the Arrow WAV kernel upstream. Output carries only discrete
+    and rational columns, so the DuckDB twin is exact with no float
+    quantization."""
+    import pyspark.sql.functions as F
+
+    reason = (
+        F.when(F.col("duration_sec") < AUDIO_MIN_DURATION_SEC, "too_short")
+        .when(F.col("clip_frac") > AUDIO_MAX_CLIP_FRAC, "clipped")
+        .when(F.col("rms") < AUDIO_MIN_RMS, "too_quiet")
+        .when(F.col("silence_frac") > AUDIO_MAX_SILENCE_FRAC, "silent")
+        .otherwise("")
+    )
+    return stats.select(
+        "audio_id",
+        "sr",
+        "n_samples",
+        "duration_sec",
+        reason.alias("drop_reason"),
+    ).withColumn("keep", F.col("drop_reason") == "")
+
+
 def audio_features(df: DataFrame, n_bands: int = 8) -> DataFrame:
     """Real spectral features via numpy rFFT: log energy in ``n_bands``
     equal-width frequency bands plus the spectral centroid — a

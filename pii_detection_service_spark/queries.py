@@ -86,6 +86,54 @@ def _multimodal_audio_stats(spark, sf_dir):
     WAV; the numpy reference parity is pinned in pytest instead)."""
     return multimodal.audio_stats(multimodal.synth_audio_table(spark, 300))
 
+
+def _multimodal_audio_keep(spark, sf_dir):
+    """Audio keep/drop gate over the WAV-decoded stats — EXACT-oracled:
+    the output carries only discrete/rational columns and the DuckDB twin
+    re-synthesizes the deterministic clips driver-side (same pure-Python
+    codec, independently-written stats expressions), inlines them as
+    VALUES, and re-derives the rule chain in SQL. What the oracle pins:
+    the distributed encode→decode→stats round-trip reproduces the
+    driver-side computation bit-for-bit AND the Spark rule chain matches an
+    independent SQL implementation of the same thresholds."""
+    return multimodal.audio_keep_decision(
+        multimodal.audio_stats(multimodal.synth_audio_table(spark, 300))
+    )
+
+
+def _audio_keep_sql(n: int = 300) -> str:
+    import numpy as np
+
+    from .operators import multimodal as mm
+    from .sources import wavcodec
+
+    vals = []
+    for i in range(n):
+        s = wavcodec.synth_clip(i)
+        x = s.astype(np.float64) / 32768.0
+        rms = float(np.sqrt((x * x).mean()))
+        clip = float((np.abs(s) >= 32767).mean())
+        sil = float((np.abs(x) < 1e-3).mean())
+        vals.append(
+            f"('aud_{i:08d}', 16000, {len(x)}, {rms!r}, {clip!r}, {sil!r})"
+        )
+    return f"""
+WITH st(audio_id, sr, n_samples, rms, clip_frac, silence_frac) AS (
+  VALUES {", ".join(vals)}
+), d AS (
+  SELECT audio_id, sr, n_samples,
+         n_samples::DOUBLE / sr AS duration_sec,
+         CASE WHEN n_samples::DOUBLE / sr < {mm.AUDIO_MIN_DURATION_SEC!r} THEN 'too_short'
+              WHEN clip_frac > {mm.AUDIO_MAX_CLIP_FRAC!r} THEN 'clipped'
+              WHEN rms < {mm.AUDIO_MIN_RMS!r} THEN 'too_quiet'
+              WHEN silence_frac > {mm.AUDIO_MAX_SILENCE_FRAC!r} THEN 'silent'
+              ELSE '' END AS drop_reason
+  FROM st)
+SELECT audio_id, sr, n_samples, duration_sec, drop_reason,
+       drop_reason = '' AS keep
+FROM d
+"""
+
 # ---------------------------------------------------------------------------
 # Oracle SQL fragments shared across queries (mirror operators/*.py).
 # ---------------------------------------------------------------------------
@@ -818,6 +866,8 @@ ORACLES: dict[str, str | None] = {
           FROM s) z
         WHERE rn <= 3
     """,
+    # audio gate: exact oracle (see _multimodal_audio_keep docstring)
+    "multimodal_audio_keep": _audio_keep_sql(),
     # --- UDF-backed pipeline queries: rows-only driver check ---
     "pipeline_score_documents": None,
     "pipeline_scores_quantized": _kernel_scores_sql(),
@@ -879,12 +929,14 @@ SPARK_BUILDERS = {
     "events_sessionize": events.sessionize,
     "events_value_quantiles": events.value_quantiles,
     "rollup_doc_counts": relational.rollup_doc_counts,
-    "tfidf_top_terms": textstats.tfidf_top_terms,
+    "multimodal_audio_keep": _multimodal_audio_keep,
     "pipeline_scores_quantized": pipeline.scores_oracle,
     # --- oracled but OUTSIDE the driver's 50-slot window (slots 51+; the
     # local gate tools/check_oracle.py still verifies them exactly).
     # dedup_jaccard_pairs is the explicitly-weak all-pairs recall baseline —
-    # its scale twin dedup_jaccard_candidates holds a window slot ---
+    # its scale twin dedup_jaccard_candidates holds a window slot;
+    # tfidf_top_terms rotated out when the audio gate rotated in ---
+    "tfidf_top_terms": textstats.tfidf_top_terms,
     "dedup_jaccard_pairs": dedup.jaccard_pairs,
     # --- rows-only (no exact oracle possible) entries LAST: the driver's
     # correctness window covers the first 50 registered queries, and every

@@ -72,3 +72,32 @@ def test_audio_features_band_energies(spark):
         for r in multimodal.audio_features(multimodal.synth_audio_table(spark, 12)).collect()
     }
     assert feats == again
+
+
+def test_audio_keep_decision_drop_reasons(spark):
+    """The gate drops the planted structure of the synth table — every 11th
+    clip saturates (→ 'clipped', which outranks 'silent' in the rule
+    order), every remaining 7th has a silent tail (→ 'silent') — and keeps
+    the rest. Counts recomputed independently from the clip indices."""
+    from pii_detection_service_spark.operators import multimodal
+
+    n = 120
+    out = multimodal.audio_keep_decision(
+        multimodal.audio_stats(multimodal.synth_audio_table(spark, n))
+    ).collect()
+    by_id = {r["audio_id"]: r for r in out}
+    assert len(by_id) == n
+    import collections
+    reasons = collections.Counter(r["drop_reason"] for r in out)
+    expect_clipped = {i for i in range(n) if i % 11 == 0}
+    expect_silent = {i for i in range(n) if i % 7 == 0} - expect_clipped
+    for i in range(n):
+        r = by_id[f"aud_{i:08d}"]
+        if i in expect_clipped:
+            assert r["drop_reason"] == "clipped", i
+        elif i in expect_silent:
+            assert r["drop_reason"] == "silent", i
+        else:
+            assert r["keep"] and r["drop_reason"] == "", i
+    assert reasons["clipped"] == len(expect_clipped)
+    assert reasons["silent"] == len(expect_silent)
