@@ -90,12 +90,18 @@ def decode_jpeg_like(data: bytes) -> np.ndarray:
     return (q.astype(np.uint16) * 2 + 1).clip(0, 255).astype(np.uint8)
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 98) -> bytes:
-    """Real baseline JFIF encode (see jpegcodec.py). Default quality 98
-    keeps noise-heavy synthetic content above the 40 dB PSNR invariant."""
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 98, subsampling: tuple[int, int] = (1, 1)
+) -> bytes:
+    """Real baseline JFIF encode (see jpegcodec.py). Default quality 98 /
+    4:4:4 keeps noise-heavy synthetic content above the 40 dB PSNR
+    invariant; pass subsampling=(2, 2) for real-world-shaped 4:2:0 output
+    (the decoder reads sampling factors per file either way)."""
     from . import jpegcodec
 
-    return jpegcodec.encode_baseline_jpeg(pixels, quality=quality)
+    return jpegcodec.encode_baseline_jpeg(
+        pixels, quality=quality, subsampling=subsampling
+    )
 
 
 def decode(data: bytes, fmt: str) -> np.ndarray:

@@ -64,10 +64,10 @@ def test_progressive_and_subsampled_raise_honestly():
     prog[i + 1] = 0xC2
     with pytest.raises(NotImplementedError, match="baseline"):
         jpegcodec.decode_baseline_jpeg(bytes(prog))
-    # rewrite Y sampling factor 1x1 → 2x2 (4:2:0)
+    # rewrite Y sampling factor 1x1 → 3x3 (beyond the factor-2 support)
     sub = data.copy()
-    sub[i + 11] = 0x22  # SOF payload: len(2) prec(1) h(2) w(2) nc(1), comp0 id
-    with pytest.raises(NotImplementedError, match="subsampling"):
+    sub[i + 11] = 0x33  # SOF payload: len(2) prec(1) h(2) w(2) nc(1), comp0 id
+    with pytest.raises(NotImplementedError, match="sampling factor"):
         jpegcodec.decode_baseline_jpeg(bytes(sub))
 
 
@@ -100,3 +100,63 @@ def test_multimodal_decode_stats_over_real_jpeg(spark):
             i = int(r["image_id"].split("_")[1])
             src_mean = float(synth.pixels_for(i).mean())
             assert abs(r["mean_px"] - src_mean) < 2.0
+
+
+def _gradient(h=37, w=53):
+    """Chroma-smooth content — the shape real photographs have."""
+    g = np.zeros((h, w, 3), np.uint8)
+    yy, xx = np.mgrid[0:h, 0:w]
+    g[..., 0] = (yy * 3) % 256
+    g[..., 1] = (xx * 2) % 256
+    g[..., 2] = ((yy + xx) * 2) % 256
+    return g
+
+
+def test_420_roundtrip_smooth_chroma_holds_40db():
+    """4:2:0 halves chroma resolution, which costs nothing measurable on
+    chroma-smooth content: the invariant bound must still hold."""
+    g = _gradient()
+    for sub in ((2, 2), (2, 1), (1, 2)):
+        out = jpegcodec.decode_baseline_jpeg(
+            jpegcodec.encode_baseline_jpeg(g, 98, subsampling=sub)
+        )
+        assert out.shape == g.shape
+        assert imagecodec.psnr(g, out) >= 40.0, sub
+
+
+def test_420_smaller_than_444():
+    g = _gradient(48, 64)
+    full = jpegcodec.encode_baseline_jpeg(g, 92, subsampling=(1, 1))
+    sub = jpegcodec.encode_baseline_jpeg(g, 92, subsampling=(2, 2))
+    assert len(sub) < len(full)
+
+
+def test_sampling_factor_above_2_raises():
+    with pytest.raises(NotImplementedError, match="subsampling factors"):
+        jpegcodec.encode_baseline_jpeg(_gradient(), 92, subsampling=(4, 1))
+
+
+def test_decode_stats_over_mixed_sampling(spark):
+    """A real crawl carries mostly 4:2:0 with some 4:4:4 — the decode query
+    must handle a mixed-bytes column transparently (the decoder reads the
+    SOF sampling factors from each file)."""
+    import pandas as pd
+
+    from pii_detection_service_spark.operators import multimodal
+
+    rows = []
+    for i in range(24):
+        px = synth.pixels_for(i)
+        sub = (2, 2) if i % 2 else (1, 1)
+        rows.append(
+            (f"img_{i:06d}", jpegcodec.encode_baseline_jpeg(px, 98, subsampling=sub),
+             "jpeg")
+        )
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = {r["image_id"]: r for r in multimodal.decode_stats(df).collect()}
+    assert len(got) == 24
+    for i in range(24):
+        r = got[f"img_{i:06d}"]
+        assert r["decode_ok"] and r["dec_w"] == 24 and r["dec_h"] == 24
+        src_mean = float(synth.pixels_for(i).mean())
+        assert abs(r["mean_px"] - src_mean) < 3.0, i

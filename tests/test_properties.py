@@ -136,3 +136,31 @@ def test_wav_roundtrip_any_length(n, stereo):
     s = rng.integers(-32768, 32767, shape, dtype=np.int16)
     out, sr = wavcodec.decode_wav(wavcodec.encode_wav(s, 8000))
     assert sr == 8000 and np.array_equal(s, out)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(4, 40),
+    st.integers(4, 40),
+    st.integers(0, 2**32 - 1),
+    st.sampled_from([(1, 1), (2, 2), (2, 1), (1, 2)]),
+)
+def test_jpeg_subsampled_roundtrip_preserves_luma(h, w, seed, sub):
+    """Every supported sampling mode must round-trip any shape with exact
+    dimensions back; luma is coded at full resolution in all of them, so
+    the Y-plane PSNR holds the 4:4:4 bound even on uniform noise (chroma
+    carries the subsampling loss by design)."""
+    import numpy as np
+
+    from pii_detection_service_spark.sources import jpegcodec
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = jpegcodec.decode_baseline_jpeg(
+        jpegcodec.encode_baseline_jpeg(px, 98, subsampling=sub)
+    )
+    assert out.shape == (h, w, 3)
+    luma = lambda a: a.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    mse = float(np.mean((luma(px) - luma(out)) ** 2))
+    psnr_y = 10.0 * np.log10(255.0**2 / mse) if mse else float("inf")
+    assert psnr_y >= 38.0, (sub, psnr_y)
