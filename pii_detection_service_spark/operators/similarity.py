@@ -262,6 +262,132 @@ def ann_ivf_search(
     )
 
 
+# --- learned IVF (integer-quantized Lloyd iterations) ------------------------
+#
+# ann_ivf_search uses raw data vectors as the coarse quantizer; k-means
+# centroids adapt the cells to the data's density (the classic IVF
+# recall-per-scanned-fraction win). To keep the index EXACTLY reproducible
+# across engines (the oracle re-derives the whole training relationally),
+# the index math is integer-only:
+# - vectors quantize to q_d = floor(v_d * 1e6) (floor has no tie-rounding
+#   semantics to diverge on, unlike round);
+# - assignment = argmin of Σ (q_d − c_d)² in int64 (max ~2.6e14, exact),
+#   ties to the smallest centroid id;
+# - centroid update = floor(Σ q_d / n). Sums ≤ 1e10 < 2^53, so SQL's
+#   floor(sum::DOUBLE / n) and Python's integer // agree exactly (a
+#   non-exact quotient sits ≥ 1/n away from any integer — far beyond one
+#   ulp — so the double division cannot round across the floor boundary).
+# Search quality is unaffected by quantization (1e-6 relative grid);
+# the final top-k still ranks by true double-precision cosine.
+
+_QSCALE = 1_000_000
+
+
+def _sqdist_sql(cvec: list[int]) -> str:
+    arr = "array(" + ", ".join(f"{x}L" for x in cvec) + ")"
+    return (
+        f"aggregate(zip_with(q, {arr}, (x, y) -> (x - y) * (x - y)), "
+        "0L, (a, x) -> a + x)"
+    )
+
+
+def ivf_learned_search(
+    e: DataFrame,
+    query_vec_id: int = 0,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF ANN with Lloyd-learned centroids over an embeddings DataFrame
+    (vec_id, embedding). Index build = ``iters`` distributed passes, each
+    one map-only assignment + one (cell, dim) aggregate whose 8×64-row
+    result is collected driver-side to re-inline the next centroids as
+    literals (the same index-constants pattern as _anchor_literals — no
+    join or shuffle ever touches the vectors beyond the k·d-row aggregate).
+    Search = driver-side probe resolution + ONE map-only scan with a
+    literal IN filter, identical plan shape to ann_ivf_search."""
+    import math
+
+    import pyspark.sql.functions as F  # noqa: F811 (local for clarity)
+
+    e = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn(
+        "q", F.expr(f"transform(v, x -> cast(floor(x * {float(_QSCALE)!r}) as bigint))")
+    )
+    # initial centroids: the quantized anchor vectors (vec_id 1..n)
+    rows = (
+        e.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= n_centroids))
+        .select("vec_id", "q")
+        .collect()
+    )
+    cents: dict[int, list[int]] = {
+        r["vec_id"]: [int(x) for x in r["q"]] for r in rows
+    }
+
+    def with_cell(df: DataFrame) -> DataFrame:
+        dists = F.array(*[F.expr(_sqdist_sql(cents[c])) for c in sorted(cents)])
+        # argmin, ties to the smallest centroid id (array is id-ordered and
+        # array_position returns the FIRST match)
+        return df.withColumn("ds", dists).withColumn(
+            "cell", F.expr("array_position(ds, array_min(ds))")
+        )
+
+    for _ in range(iters):
+        agg = (
+            with_cell(e)
+            .select("cell", F.posexplode("q").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in agg:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = (
+                int(r["s"]), int(r["n"]),
+            )
+        new_cents = {}
+        for i, cid in enumerate(sorted(cents), start=1):
+            if i in by_cell:
+                dims = by_cell[i]
+                # Python // is exact floor — matches SQL floor(s/n), see top
+                new_cents[cid] = [
+                    dims[d][0] // dims[d][1] for d in sorted(dims)
+                ]
+            else:
+                new_cents[cid] = cents[cid]  # empty cell keeps its centroid
+        cents = new_cents
+
+    # search: resolve probe cells driver-side on the query's quantized vec
+    qrow = e.where(F.col("vec_id") == query_vec_id).select("q", "v").head()
+    qq = [int(x) for x in qrow["q"]]
+    qv = [float(x) for x in qrow["v"]]
+    order = sorted(
+        (sum((x - y) * (x - y) for x, y in zip(qq, c)), i)
+        for i, c in enumerate((cents[cid] for cid in sorted(cents)), start=1)
+    )
+    probe = [i for _, i in order[:n_probe]]
+    qarr = "array(" + ", ".join(repr(x) for x in qv) + ")"
+    cos = F.round(
+        F.expr(_DOT.format(u="v", v=qarr))
+        / (F.expr(_NORM.format(u="v")) * F.expr(_NORM.format(u=qarr))),
+        4,
+    )
+    return (
+        with_cell(e)
+        .where(F.col("cell").isin(probe) & (F.col("vec_id") != query_vec_id))
+        .select("vec_id", F.col("cell").cast("bigint").alias("cell"), cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+def ann_ivf_learned(spark, sf_dir, **kw) -> DataFrame:
+    from .relational import table
+
+    return ivf_learned_search(table(spark, sf_dir, "embeddings"), **kw)
+
+
 def lsh_buckets(spark, sf_dir) -> DataFrame:
     """Sign-LSH bucket histogram: 8 data-derived hyperplanes (embeddings of
     vec_id 1..8); bucket = Σ_j (dot(v, anchor_j) > 0) << (j-1). One map-only

@@ -383,6 +383,62 @@ FROM final
 """
 
 
+def _ivf_learned_sql(iters: int = 2, n_probe: int = 2) -> str:
+    """DuckDB twin of similarity.ivf_learned_search: re-derives the WHOLE
+    integer-quantized Lloyd training relationally (assignment argmin via
+    ranking, centroid update via floor(sum/count) — see the integer-math
+    notes in similarity.py for why every step is bit-exact across engines),
+    then the probe + exact-cosine search."""
+    sqd = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(list_zip(e.q, {c}.c), p -> (p[1]-p[2])*(p[1]-p[2]))), "
+        "(a, x) -> a + x)"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
+        "list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)::BIGINT) "
+        "AS q FROM embeddings), "
+        "c0 AS (SELECT vec_id AS cid, q AS c FROM e WHERE vec_id BETWEEN 1 AND 8)"
+    ]
+    for it in range(1, iters + 1):
+        prev, cur = f"c{it - 1}", f"c{it}"
+        parts.append(
+            f"d{it} AS (SELECT e.vec_id, {prev}.cid, "
+            + sqd.format(c=prev)
+            + f" AS dist FROM e, {prev}), "
+            f"a{it} AS (SELECT vec_id, cid AS cell FROM ("
+            f"SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY dist, cid) AS rn FROM d{it}) t WHERE rn = 1), "
+            f"s{it} AS (SELECT cell, u.d AS dim, sum(u.x) AS s, "
+            f"count(*) AS n FROM (SELECT a{it}.cell, "
+            "unnest(list_transform(e.q, (x, i) -> {'d': i, 'x': x})) AS u "
+            f"FROM a{it} JOIN e USING (vec_id)) t GROUP BY cell, u.d), "
+            f"{cur} AS (SELECT c0.cid, coalesce(n{it}.c, c0.c) AS c FROM c0 "
+            f"LEFT JOIN (SELECT cell AS cid, "
+            f"list(floor(s::DOUBLE / n)::BIGINT ORDER BY dim) AS c "
+            f"FROM s{it} GROUP BY cell) n{it} ON n{it}.cid = c0.cid)"
+        )
+    fin = f"c{iters}"
+    parts.append(
+        f"df AS (SELECT e.vec_id, {fin}.cid, " + sqd.format(c=fin)
+        + f" AS dist FROM e, {fin}), "
+        "af AS (SELECT vec_id, cid AS cell FROM ("
+        "SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY dist, cid) AS rn FROM df) t WHERE rn = 1), "
+        f"qp AS (SELECT cid AS cell FROM df WHERE vec_id = 0 "
+        f"ORDER BY dist, cid LIMIT {n_probe}), "
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)"
+    )
+    sel = (
+        "SELECT af.vec_id, af.cell::BIGINT AS cell, "
+        "round(" + _DOT_D.format(u="e.v", v="qv") + " / ("
+        + _NORM_D.format(u="e.v") + " * " + _NORM_D.format(u="qv") + "), 4) "
+        "AS cos FROM af JOIN e USING (vec_id) JOIN qp ON af.cell = qp.cell, q "
+        "WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10"
+    )
+    return ", ".join(parts) + " " + sel
+
+
 _BANDS_UNION = " UNION ALL ".join(
     f"SELECT doc_id, {band} AS band, "
     f"mh{2 * band}::VARCHAR || '_' || mh{2 * band + 1}::VARCHAR AS band_key FROM sig"
@@ -689,6 +745,7 @@ ORACLES: dict[str, str | None] = {
         "FROM ce JOIN qc ON ce.cell = qc.cell, q WHERE ce.vec_id <> 0 "
         "ORDER BY cos DESC, vec_id LIMIT 10"
     ),
+    "ann_search_ivf_learned": _ivf_learned_sql(),
     # numpy-matmul variant: pairwise float summation differs from the SQL
     # fold in the last ulp → rows-only here; equivalence to the native
     # operator is asserted in tests/test_similarity.py instead.
@@ -915,6 +972,7 @@ SPARK_BUILDERS = {
     "ann_search_pruned": similarity.ann_search,
     "ann_search_multiprobe": similarity.ann_search_multiprobe,
     "ann_search_ivf": similarity.ann_ivf_search,
+    "ann_search_ivf_learned": similarity.ann_ivf_learned,
     "a6_reconstruct": textstats.reconstruct_text,
     "a7_clean_tokens": textstats.clean_tokens,
     "g1_fbeta_arrays": textstats.fbeta_arrays,
@@ -928,15 +986,16 @@ SPARK_BUILDERS = {
     "events_props_json": events.props_json,
     "events_sessionize": events.sessionize,
     "events_value_quantiles": events.value_quantiles,
-    "rollup_doc_counts": relational.rollup_doc_counts,
     "multimodal_audio_keep": _multimodal_audio_keep,
     "pipeline_scores_quantized": pipeline.scores_oracle,
     # --- oracled but OUTSIDE the driver's 50-slot window (slots 51+; the
     # local gate tools/check_oracle.py still verifies them exactly).
     # dedup_jaccard_pairs is the explicitly-weak all-pairs recall baseline —
     # its scale twin dedup_jaccard_candidates holds a window slot;
-    # tfidf_top_terms rotated out when the audio gate rotated in ---
+    # tfidf_top_terms and rollup_doc_counts rotated out when the audio gate
+    # and learned-IVF queries rotated in ---
     "tfidf_top_terms": textstats.tfidf_top_terms,
+    "rollup_doc_counts": relational.rollup_doc_counts,
     "dedup_jaccard_pairs": dedup.jaccard_pairs,
     # --- rows-only (no exact oracle possible) entries LAST: the driver's
     # correctness window covers the first 50 registered queries, and every
