@@ -1,11 +1,14 @@
-"""Large-scale bench: the stage + dedup family at 5M rows (25x the
-per-round bench volume) — the "would this survive 100x?" evidence run.
+"""Large-scale bench: the stage + dedup family at 5M / 20M rows (25-100x
+the per-round bench volume) — the "would this survive 100x?" evidence run.
+Each decade has historically surfaced a new bug class (599 s shingle fold
+at 5M; band-group skew and checkpoint I/O are what the 20M notch watches).
 
-Reuses the PRODUCTION operator code paths unchanged: the 5M caption corpus
-is written as a documents.parquet table and the dedup operators are called
+Reuses the PRODUCTION operator code paths unchanged: the caption corpus is
+written as a documents.parquet table and the dedup operators are called
 with that directory as sf_dir, exactly as the driver calls them. Per-query
-wall seconds and rows/sec land in BENCH/scale5m.json; compare across
-rounds to catch regressions at scale that sf0.1 hides.
+wall seconds and rows/sec land in BENCH/scale{N}m.json; compare across
+rounds AND across notches (per-row seconds should stay ~flat) to catch
+regressions sf0.1 hides.
 
 Forcing note: every timed query aggregates over its computed outputs —
 a bare count() lets Catalyst prune projected expressions (minhash/simhash
@@ -47,28 +50,77 @@ def main():
 
     from pii_detection_service_spark.plans import stage
 
+    # image table: ~1.9 KB/row on disk (measured: 9.1 GB at 5M). Building
+    # it at the largest notches can exceed the sandbox's free disk together
+    # with the stage-write output — in that case the image legs are SKIPPED
+    # LOUDLY (no silent cap) and the dedup family still runs at full n over
+    # a directly-synthesized caption table (identical rows: caption_for(i)
+    # is the same generator the image path embeds).
     img_cache = f"/tmp/spark_graft_bench_images_v4_{n}.parquet"
-    if not os.path.isdir(img_cache):
-        stage.read_synth_or_generate(spark, n).repartition(256).write.mode(
-            "overwrite"
-        ).parquet(img_cache)
+    have_images = os.path.isdir(img_cache)
+    if not have_images:
+        free = shutil.disk_usage("/tmp").free
+        need = int(2.5 * n * 1900)  # cache + stage-write output + slack
+        if free > need:
+            stage.read_synth_or_generate(spark, n).repartition(256).write.mode(
+                "overwrite"
+            ).parquet(img_cache)
+            have_images = True
+        else:
+            print(
+                f"SKIPPING image-stage legs at n={n}: building the image "
+                f"cache + stage output needs ~{need >> 30} GiB, free "
+                f"{free >> 30} GiB. Dedup family still runs at full n; "
+                "image-stage evidence comes from the largest notch that "
+                "fits (see scale5m.json).",
+                file=sys.stderr,
+            )
 
     docs_dir = f"/tmp/spark_graft_scale_docs_v4_{n}"
     docs_path = os.path.join(docs_dir, "documents.parquet")
     if not os.path.isdir(docs_path):
-        src = spark.read.parquet(img_cache)
-        (
-            src.select(
-                F.substring("image_id", 5, 8).cast("long").alias("doc_id"),
-                F.col("caption").alias("text"),
-                F.lit("en").alias("lang"),
-                F.lit("synth").alias("source"),
-                F.length("caption").alias("n_chars"),
+        if have_images:
+            src = spark.read.parquet(img_cache)
+            (
+                src.select(
+                    F.substring("image_id", 5, 8).cast("long").alias("doc_id"),
+                    F.col("caption").alias("text"),
+                    F.lit("en").alias("lang"),
+                    F.lit("synth").alias("source"),
+                    F.length("caption").alias("n_chars"),
+                )
+                .repartition(256)
+                .write.mode("overwrite")
+                .parquet(docs_path)
             )
-            .repartition(256)
-            .write.mode("overwrite")
-            .parquet(docs_path)
-        )
+        else:
+            import pandas as pd
+
+            from pii_detection_service_spark.sources.synth import caption_for
+
+            def gen(batches):
+                for pdf in batches:
+                    caps = [caption_for(int(i)) for i in pdf["id"]]
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": pdf["id"],
+                            "text": caps,
+                            "lang": ["en"] * len(caps),
+                            "source": ["synth"] * len(caps),
+                            "n_chars": [len(c) for c in caps],
+                        }
+                    )
+
+            (
+                spark.range(0, n, 1, 256)
+                .mapInPandas(
+                    gen,
+                    "doc_id long, text string, lang string, source string, "
+                    "n_chars int",
+                )
+                .write.mode("overwrite")
+                .parquet(docs_path)
+            )
 
     # python worker warmup (cluster-amortized startup)
     spark.range(0, cpus * 4, 1, cpus).mapInPandas(
@@ -130,34 +182,37 @@ def main():
     )
 
     # flagship score-only throughput (map-only Arrow pass)
-    src = spark.read.parquet(img_cache)
-    t0 = time.monotonic()
-    row = (
-        stage.score(stage.with_bucket(src, 64))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("keep").cast("long")).alias("kept"),
+    ips = None
+    if have_images:
+        src = spark.read.parquet(img_cache)
+        t0 = time.monotonic()
+        row = (
+            stage.score(stage.with_bucket(src, 64))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("keep").cast("long")).alias("kept"),
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
-    assert 0 < row["kept"] < row["n"]
-    times["image_stage_score"] = round(time.monotonic() - t0, 2)
-    rows["image_stage_score"] = row["n"]
-    ips = round(row["n"] / times["image_stage_score"], 1)
-    print(f"  score: {ips} images/sec", file=sys.stderr)
+        assert 0 < row["kept"] < row["n"]
+        times["image_stage_score"] = round(time.monotonic() - t0, 2)
+        rows["image_stage_score"] = row["n"]
+        ips = round(row["n"] / times["image_stage_score"], 1)
+        print(f"  score: {ips} images/sec", file=sys.stderr)
 
-    # full stage incl. the one (bucket, salt) shuffle + partitioned write
-    out_dir = tempfile.mkdtemp(prefix="scale_stage_")
-    t0 = time.monotonic()
-    m = stage.run_stage(spark, src, out_dir, n_buckets=64, salt_factor=4)
-    times["image_stage_write"] = round(time.monotonic() - t0, 2)
-    rows["image_stage_write"] = m["rows"]
-    shutil.rmtree(out_dir, ignore_errors=True)
+        # full stage incl. the one (bucket, salt) shuffle + partitioned write
+        out_dir = tempfile.mkdtemp(prefix="scale_stage_")
+        t0 = time.monotonic()
+        m = stage.run_stage(spark, src, out_dir, n_buckets=64, salt_factor=4)
+        times["image_stage_write"] = round(time.monotonic() - t0, 2)
+        rows["image_stage_write"] = m["rows"]
+        shutil.rmtree(out_dir, ignore_errors=True)
 
     result = {
         "n_rows": n,
         "cpus": cpus,
         "images_per_sec_score": ips,
+        "image_stage_skipped_for_disk": not have_images,
         "queries_sec": times,
         "rows": rows,
         "total_sec": round(sum(times.values()), 2),

@@ -61,6 +61,11 @@ def main():
         "ann_search_multiprobe",
         "ann_search_ivf",
         "pipeline_scores_quantized",
+        # round-3 additions: 64-bit simhash banding + Hamming verify,
+        # Lloyd-learned IVF, and the audio keep/drop gate
+        "dedup_simhash_candidates",
+        "ann_search_ivf_learned",
+        "multimodal_audio_keep",
     ]
 
     # Warm the Python worker pool (each worker cold-imports pandas/numpy

@@ -119,3 +119,43 @@ def test_dedup_group_min_has_no_window(spark):
         )
         assert "Window" not in plan, plan[:1500]
         assert "HashAggregate" in plan  # the group-min partial aggregate
+
+
+def test_simhash_candidates_no_window_and_checkpointed_sketch(spark):
+    """The band group-min must be the skew-safe groupBy+join shape (no
+    Window sort over a potentially hot band group), and the Arrow sketch
+    must be materialized once — its four plan consumers read the
+    checkpointed scan, not four copies of the kernel."""
+    from pii_detection_service_spark.operators import dedup
+
+    df = dedup.simhash_candidates(spark, SF)
+    plan = _plan(df)
+    assert "Window" not in plan
+    # exactly zero live Python-kernel stages: every consumer reads the
+    # localCheckpoint (ExistingRDD / LocalTableScan-style leaf)
+    assert "FlatMapsInPandas" not in plan and "MapInPandas" not in plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+
+def test_ivf_learned_search_single_scan_no_join(spark):
+    """Learned-IVF search must stay the one-map-only-scan shape: probe
+    cells resolved driver-side → literal IN filter, no join/broadcast in
+    the search plan."""
+    from pii_detection_service_spark.operators import similarity
+
+    df = similarity.ann_ivf_learned(spark, SF, n_probe=2)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_audio_keep_is_pure_column_ops_over_stats(spark):
+    """The keep rules must not add a shuffle or extra Python stage beyond
+    the stats kernel itself."""
+    from pii_detection_service_spark.operators import multimodal
+
+    df = multimodal.audio_keep_decision(
+        multimodal.audio_stats(multimodal.synth_audio_table(spark, 20))
+    )
+    plan = _plan(df)
+    assert "Exchange" not in plan  # map-only end to end

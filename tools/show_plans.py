@@ -54,6 +54,10 @@ def main():
         "dedup_embedding_cosine",
         "ann_search_multiprobe",
         "ann_search_ivf",
+        # round-3 scale-path queries
+        "dedup_simhash_candidates",
+        "ann_search_ivf_learned",
+        "multimodal_audio_keep",
     ]
     out = ["# PLANS — formatted physical plans for load-bearing queries", ""]
     for name in picks:
