@@ -99,6 +99,13 @@ def resize(df: DataFrame, out_size: int) -> DataFrame:
 
 # --- audio: real WAV (RIFF/PCM) binary column --------------------------------
 
+# "Saturated" level for clip detection: ≈ 98% of full scale rather than
+# exactly 32767, so clipping survives companded/8-bit/float round-trips
+# (G.711 µ-law decodes a saturated sample to 32124, A-law to 32256, 8-bit
+# PCM to 32512 — an exact-32767 detector would silently report clip_frac
+# = 0 for any companded source).
+AUDIO_CLIP_LEVEL = 32100
+
 AUDIO_STATS_DDL = (
     "audio_id string, sr int, n_samples int, duration_sec double, "
     "rms double, zero_cross_rate double, clip_frac double, silence_frac double"
@@ -125,7 +132,7 @@ def audio_stats(df: DataFrame) -> DataFrame:
                 n = len(x)
                 rms = float(np.sqrt((x * x).mean())) if n else 0.0
                 zcr = float((np.diff(np.signbit(x)) != 0).mean()) if n > 1 else 0.0
-                clip = float((np.abs(s) >= 32767).mean()) if n else 0.0
+                clip = float((np.abs(s) >= AUDIO_CLIP_LEVEL).mean()) if n else 0.0
                 sil = float((np.abs(x) < 1e-3).mean()) if n else 1.0
                 rows.append(
                     (aid, sr, n, n / sr, rms, zcr, clip, sil)

@@ -112,7 +112,7 @@ def _audio_keep_sql(n: int = 300) -> str:
         s = wavcodec.synth_clip(i)
         x = s.astype(np.float64) / 32768.0
         rms = float(np.sqrt((x * x).mean()))
-        clip = float((np.abs(s) >= 32767).mean())
+        clip = float((np.abs(s) >= mm.AUDIO_CLIP_LEVEL).mean())
         sil = float((np.abs(x) < 1e-3).mean())
         vals.append(
             f"('aud_{i:08d}', 16000, {len(x)}, {rms!r}, {clip!r}, {sil!r})"

@@ -84,6 +84,26 @@ def sessionize_stream(events_stream: DataFrame, gap_min: int = 30) -> DataFrame:
     )
 
 
+def dedup_stream(
+    docs_stream: DataFrame,
+    ts_col: str = "ingest_ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup on content hash with BOUNDED state: an
+    unbounded `dropDuplicates` would keep every hash ever seen (state grows
+    with the corpus — the #1 way streaming dedup falls over at 10^12 rows);
+    `dropDuplicatesWithinWatermark` evicts hashes older than the watermark,
+    so state is proportional to the ingest rate × watermark horizon. That
+    is the correct streaming contract for crawl ingest, where duplicate
+    bursts are temporally local (re-crawls of the same page arrive
+    together); cross-horizon dups are the batch dedup stage's job
+    (`operators.dedup.exact_dedup` over the accumulated table)."""
+    hashed = docs_stream.withColumn("content_hash", F.md5("text"))
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+
 def windowed_quality_metrics(
     scored_stream: DataFrame,
     ts_col: str = "ingest_ts",

@@ -51,7 +51,7 @@ def test_audio_stats_match_numpy_reference(spark):
         r = got[f"aud_{i:08d}"]
         assert r["sr"] == 16000 and r["n_samples"] == len(s)
         assert abs(r["rms"] - float(np.sqrt((x * x).mean()))) < 1e-9
-        assert abs(r["clip_frac"] - float((np.abs(s) >= 32767).mean())) < 1e-9
+        assert abs(r["clip_frac"] - float((np.abs(s) >= 32100).mean())) < 1e-9
     # planted structure shows up in the stats
     assert got["aud_00000007"]["silence_frac"] > 0.3  # silent tail
     assert got["aud_00000011"]["clip_frac"] > 0.05  # saturated clip
@@ -101,3 +101,107 @@ def test_audio_keep_decision_drop_reasons(spark):
             assert r["keep"] and r["drop_reason"] == "", i
     assert reasons["clipped"] == len(expect_clipped)
     assert reasons["silent"] == len(expect_silent)
+
+
+def test_g711_byte_exact_vs_cpython_audioop():
+    """µ-law/A-law companders must match CPython's audioop (the CCITT
+    reference implementation) byte-for-byte over the FULL int16 domain,
+    both directions."""
+    import warnings
+
+    import numpy as np
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from pii_detection_service_spark.sources import wavcodec as W
+
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    assert W.ulaw_encode(x).tobytes() == audioop.lin2ulaw(x.tobytes(), 2)
+    assert W.alaw_encode(x).tobytes() == audioop.lin2alaw(x.tobytes(), 2)
+    u = np.arange(256, dtype=np.uint8)
+    assert W.ulaw_decode(u).tobytes() == audioop.ulaw2lin(u.tobytes(), 2)
+    assert W.alaw_decode(u).tobytes() == audioop.alaw2lin(u.tobytes(), 2)
+
+
+def test_wav_encodings_roundtrip_and_stats_transparency():
+    """Every supported WAV encoding must decode back to int16 with the
+    expected fidelity: pcm16 lossless; pcm8 exact in the top byte; float32
+    lossless for int16-representable values; G.711 within companding
+    error and idempotent after one quantization."""
+    import numpy as np
+
+    from pii_detection_service_spark.sources import wavcodec as W
+
+    s = W.synth_clip(5)
+    for enc in ("pcm16", "pcm8", "float32", "ulaw", "alaw"):
+        out, sr = W.decode_wav(W.encode_wav(s, 16000, encoding=enc))
+        assert sr == 16000 and out.dtype == np.int16 and len(out) == len(s)
+        if enc == "pcm16":
+            assert np.array_equal(out, s)
+        elif enc == "float32":
+            assert np.array_equal(out, s)  # int16/32768.0 is exact in f32
+        elif enc == "pcm8":
+            assert np.array_equal(out >> 8, s >> 8)
+        else:
+            # companding error bounded by segment width (~3% of magnitude)
+            err = np.abs(out.astype(np.int32) - s.astype(np.int32))
+            assert err.max() <= np.maximum(np.abs(s.astype(np.int32)) // 16, 64).max()
+            # idempotent: re-encoding the quantized signal is stable
+            out2, _ = W.decode_wav(W.encode_wav(out, 16000, encoding=enc))
+            assert np.array_equal(out2, out)
+
+
+def test_wav_unknown_format_raises_honestly():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from pii_detection_service_spark.sources import wavcodec as W
+
+    data = bytearray(W.encode_wav(W.synth_clip(1)))
+    i = bytes(data).index(b"fmt ")
+    struct.pack_into("<H", data, i + 8, 2)  # audioFormat 2 = ADPCM
+    with pytest.raises(NotImplementedError, match="audioFormat"):
+        W.decode_wav(bytes(data))
+
+
+def test_audio_stats_encoding_agnostic(spark):
+    """audio_stats over a µ-law table must produce keep decisions matching
+    the pcm16 table (companding noise is far below the rule thresholds)."""
+    import pandas as pd
+
+    from pii_detection_service_spark.operators import multimodal
+    from pii_detection_service_spark.sources import wavcodec as W
+
+    def table(enc):
+        def gen(batches):
+            for pdf in batches:
+                ids = pdf["id"].tolist()
+                yield pd.DataFrame(
+                    {
+                        "audio_id": [f"aud_{i:08d}" for i in ids],
+                        "bytes": [
+                            W.encode_wav(W.synth_clip(int(i)), encoding=enc)
+                            for i in ids
+                        ],
+                    }
+                )
+
+        return spark.range(60).mapInPandas(gen, "audio_id string, bytes binary")
+
+    base = {
+        r["audio_id"]: (r["keep"], r["drop_reason"])
+        for r in multimodal.audio_keep_decision(
+            multimodal.audio_stats(table("pcm16"))
+        ).collect()
+    }
+    comp = {
+        r["audio_id"]: (r["keep"], r["drop_reason"])
+        for r in multimodal.audio_keep_decision(
+            multimodal.audio_stats(table("ulaw"))
+        ).collect()
+    }
+    assert base == comp

@@ -167,3 +167,60 @@ def test_windowed_quality_metrics_matches_batch(spark, tmp_path):
         for r in batch
     }
     assert got == want and len(want) > 1
+
+
+def test_dedup_stream_drops_in_watermark_duplicates(spark, tmp_path):
+    """Two micro-batches (two files processed availableNow) carrying
+    duplicate captions: the watermarked streaming dedup must keep exactly
+    one row per content hash across batches, matching the batch
+    dropDuplicates result on the same input — with state BOUNDED by the
+    watermark instead of growing forever."""
+    import datetime
+
+    src_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows1 = [(i, f"caption number {i % 8}", t0) for i in range(20)]
+    rows2 = [
+        (100 + i, f"caption number {i % 12}", t0 + datetime.timedelta(minutes=1))
+        for i in range(24)
+    ]
+    schema = "doc_id long, text string, ingest_ts timestamp"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        f"{src_dir}/batch1"
+    )
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        f"{src_dir}/batch2"
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/batch*")
+    )
+    deduped = streaming.dedup_stream(stream, watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    # 12 distinct captions exist across both batches; every one survives
+    # exactly once (batch-2 dups of batch-1 hashes are in-watermark)
+    assert got.count() == 12
+    assert got.select("content_hash").distinct().count() == 12
+    batch_equiv = (
+        spark.read.parquet(f"{src_dir}/batch1", f"{src_dir}/batch2")
+        .withColumn("content_hash", F.md5("text"))
+        .select("content_hash")
+        .distinct()
+        .count()
+    )
+    assert batch_equiv == 12
