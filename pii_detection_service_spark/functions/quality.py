@@ -146,6 +146,120 @@ def lang_and_ppl(text: str) -> tuple[str, float]:
     return _LANGS[int(np.argmax(sums))], ppl
 
 
+# --- ARPA model loading (the KenLM interchange format) ----------------------
+# The built-in _LM is a stand-in; production perplexity models ship as ARPA
+# files (the public text format KenLM reads and writes). This seam loads a
+# char-bigram ARPA model into the SAME flat table shape the vectorized
+# kernel scores against, with real backoff semantics:
+#     p(b|a) = bigram(a,b)            if the bigram is listed
+#            = backoff(a) + uni(b)    otherwise
+# so a loaded model drops into perplexity_table()/broadcast without
+# touching the pinned built-in kernel. ARPA stores log10; the kernel
+# scores natural logs — converted on load.
+
+_LN10 = math.log(10.0)
+_S_TOK, _E_TOK = "<s>", "</s>"  # ARPA sentence sentinels ↔ kernel's ^/$
+_SP_TOK = "<sp>"  # whitespace can't survive whitespace-separated ARPA lines
+
+
+def _arpa_char(tok: str) -> int | None:
+    """ARPA token → clipped codepoint id (the kernel's 257-symbol space).
+    <s>/</s> map to the kernel's ^/$ sentinels, <sp> to space (the usual
+    char-LM escape); other multi-char tokens are not char-grams → None
+    (skipped)."""
+    if tok == _S_TOK:
+        return ord("^")
+    if tok == _E_TOK:
+        return ord("$")
+    if tok == _SP_TOK:
+        return ord(" ")
+    if len(tok) == 1:
+        return min(ord(tok), 256)
+    return None
+
+
+def load_arpa_char_bigram(path: str) -> np.ndarray:
+    """Parse a char-bigram ARPA file into a (_NC²,) natural-log table.
+
+    Real ARPA semantics: listed bigrams score their entry; unlisted ones
+    score backoff(a) + uni(b); symbols absent from the unigram section
+    score the kernel's _FLOOR. Malformed sections raise ValueError."""
+    uni = np.full(_NC, _FLOOR, dtype=np.float64)
+    bow = np.zeros(_NC, dtype=np.float64)  # backoff weight, log-domain
+    bigrams: list[tuple[int, int, float]] = []
+    section = None
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("ngram ") or line == "\\data\\":
+                continue
+            if line.startswith("\\") and line.endswith("-grams:"):
+                section = int(line[1])
+                if section > 2:
+                    raise ValueError("only 1- and 2-gram sections are loaded")
+                continue
+            if line == "\\end\\":
+                break
+            # ARPA lines mix tab (after the logprob) and space (between
+            # gram tokens); whitespace tokens are escaped (<sp>), so a
+            # plain whitespace split is unambiguous
+            parts = line.split()
+            if section == 1:
+                if len(parts) < 2:
+                    raise ValueError(f"malformed 1-gram line: {line!r}")
+                a = _arpa_char(parts[1])
+                if a is not None:
+                    uni[a] = float(parts[0]) * _LN10
+                    if len(parts) >= 3:
+                        bow[a] = float(parts[2]) * _LN10
+            elif section == 2:
+                if len(parts) < 3:
+                    raise ValueError(f"malformed 2-gram line: {line!r}")
+                a, b = _arpa_char(parts[1]), _arpa_char(parts[2])
+                if a is not None and b is not None:
+                    bigrams.append((a, b, float(parts[0]) * _LN10))
+            elif section is not None:
+                raise ValueError(f"line outside a known section: {line!r}")
+    tbl = bow[:, None] + uni[None, :]  # backoff path for every pair
+    for a, b, lp in bigrams:
+        tbl[a, b] = lp
+    return tbl.reshape(_NC * _NC)
+
+
+def export_builtin_lm_arpa(path: str) -> None:
+    """Write the built-in bigram LM as an ARPA file (round-trip seam: the
+    builtin's missing-bigram floor is expressed as uni(b)=_FLOOR with zero
+    backoff, so load_arpa_char_bigram reproduces _LM_TBL)."""
+    floor10 = repr(_FLOOR / _LN10)
+
+    def tok(c: int) -> str:
+        ch = chr(c)
+        return {"^": _S_TOK, "$": _E_TOK, " ": _SP_TOK}.get(ch, ch)
+
+    symbols = sorted({ord(bg[0]) for bg in _LM} | {ord(bg[1]) for bg in _LM})
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\\data\\\n")
+        f.write(f"ngram 1={len(symbols)}\nngram 2={len(_LM)}\n\n")
+        f.write("\\1-grams:\n")
+        for c in symbols:
+            f.write(f"{floor10}\t{tok(c)}\t0.0\n")
+        f.write("\n\\2-grams:\n")
+        for bg, lp in sorted(_LM.items()):
+            f.write(f"{lp / _LN10!r}\t{tok(ord(bg[0]))} {tok(ord(bg[1]))}\n")
+        f.write("\n\\end\\\n")
+
+
+def perplexity_table(text: str, tbl: np.ndarray) -> float:
+    """Perplexity under an arbitrary loaded table — same kernel shape
+    (sentinel wrap, one bigram-id encode, one gather-sum) as the built-in
+    scorer; empty text → the 1e9 sentinel."""
+    t = "^" + text.lower() + "$"
+    if len(t) < 3:
+        return 1e9
+    ids = _bigram_ids(t)
+    return float(math.exp(-tbl[ids].sum() / len(ids)))
+
+
 # --- word-entropy (SQL-portable repetition metric) --------------------------
 
 def word_entropy(text: str) -> float:

@@ -650,7 +650,7 @@ def jaccard_pairs(spark, sf_dir) -> DataFrame:
     )
 
 
-def embedding_near_dup(spark, sf_dir) -> DataFrame:
+def embedding_near_dup(spark, sf_dir, n_anchors: int = 8) -> DataFrame:
     """Embedding-cosine near-dup with sign-LSH bucket blocking: every vector
     gets a map-only 8-hyperplane bucket (the SAME index ann_search probes —
     similarity._bucket_sql, anchors inlined as literals, no join/shuffle per
@@ -660,10 +660,16 @@ def embedding_near_dup(spark, sf_dir) -> DataFrame:
     (pinned by test) and the self-join shuffle is keyed on the bucket id.
     Vectors whose 8 signs all agree are exactly the sign-LSH near-dup
     definition; recall vs the brute-force baseline is tolerance-tested in
-    tests/test_approx_scale_paths.py. Deterministic top-50."""
+    tests/test_approx_scale_paths.py. Deterministic top-50.
+
+    ``n_anchors`` sets the bucket width (2^n buckets) — the knob that must
+    GROW with corpus size: expected candidate pairs ≈ n²/2^(b+1), so 8
+    bits is right for ~10^4 vectors and ~16 bits for 10^6 (the 1M scale
+    leg in BENCH/ann_scale.py runs 16). The driver-oracled query keeps the
+    default 8 to match the DuckDB twin."""
     from .similarity import _anchor_literals, _bucket_sql
 
-    anchors = _anchor_literals(spark, sf_dir, 8)
+    anchors = _anchor_literals(spark, sf_dir, n_anchors)
     e = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))

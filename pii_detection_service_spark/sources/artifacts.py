@@ -36,6 +36,18 @@ def broadcast_label_vocab(spark: SparkSession):
     return spark.sparkContext.broadcast(tuple(LABELS))
 
 
+def broadcast_arpa_lm(spark: SparkSession, arpa_path: str):
+    """Load a char-bigram ARPA model (KenLM interchange format) driver-side
+    and broadcast the flat score table — the production path for swapping
+    the built-in stand-in LM for a real one: tasks score against
+    ``bc.value`` with quality.perplexity_table, one table copy per
+    executor (the same pattern as the gazetteer, sized ~0.5 MB for the
+    257² char-bigram space)."""
+    from ..functions.quality import load_arpa_char_bigram
+
+    return spark.sparkContext.broadcast(load_arpa_char_bigram(arpa_path))
+
+
 def distribute_archive(spark: SparkSession, archive_path: str) -> str:
     """S3+S6 equivalent: register a zip artifact for node-local distribution.
     Returns the archive's basename; executors resolve it with
