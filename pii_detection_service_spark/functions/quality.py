@@ -220,6 +220,16 @@ def load_arpa_char_bigram(path: str) -> np.ndarray:
                     bigrams.append((a, b, float(parts[0]) * _LN10))
             elif section is not None:
                 raise ValueError(f"line outside a known section: {line!r}")
+    if not bigrams:
+        # a word-level ARPA file (the most common KenLM artifact) parses
+        # "successfully" with every multi-char token skipped — returning
+        # the degenerate all-floor table would silently score every
+        # document identically. Honest seam: raise instead.
+        raise ValueError(
+            "no char bigrams loaded — this looks like a word-level ARPA "
+            "model; this kernel scores char-bigram models (single-char "
+            "tokens plus <s>/</s>/<sp>)"
+        )
     tbl = bow[:, None] + uni[None, :]  # backoff path for every pair
     for a, b, lp in bigrams:
         tbl[a, b] = lp

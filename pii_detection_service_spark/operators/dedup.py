@@ -211,6 +211,11 @@ def connected_components(
             break
         checksum = new_checksum
     if not converged:
+        # release the last round's cached label table before raising —
+        # connected_components_auto treats this raise as a ROUTINE fallback
+        # trigger, and a leaked |nodes|-row cache would stay pinned in
+        # executor storage for the rest of the application
+        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds; "
             "returning labels here would silently split clusters — raise "
@@ -522,9 +527,18 @@ def simhash64_candidates(
     Shape mirrors jaccard_candidates: ONE posexplode into (band, band_key)
     rows, star edges against the skew-proof band-group minimum (groupBy +
     join, never a Window over a hot band), sketches re-attached to the
-    candidate edges only, hamming ≤ max_hamming filter. Any pair within
-    Hamming distance 3 shares at least one of the 4 bands (pigeonhole), so
-    banding loses nothing vs all-pairs at linear cost."""
+    candidate edges only, hamming ≤ max_hamming filter.
+
+    Recall contract (same tradeoff as jaccard_candidates, stated
+    precisely): pigeonhole guarantees any pair within Hamming distance 3
+    lands in a shared band GROUP, and the emitted edges are each doc ↔ its
+    group minimum — the linear star set that feeds connected-components
+    dedup. A pair (B, C) whose shared group's minimum A is Hamming-far
+    from both is NOT emitted directly (all-pairs within groups would be,
+    at O(group²) cost — quadratic under template skew). For min-id
+    survivor dedup this is the standard formulation; for exhaustive
+    pair-level mining, verify all pairs within each band group instead and
+    accept the quadratic group cost."""
     # The sketch plan is consumed 4× below (band explode, group-min
     # join-back, both sides of the pair join) — materialize the Arrow
     # kernel's output ONCE (5 longs/doc ≈ 40 B/row) instead of re-running

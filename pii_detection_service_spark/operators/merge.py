@@ -31,17 +31,24 @@ from ..functions import textref
 MERGE_BROADCAST_MAX_ROWS = 100_000
 
 
-def _merge_strategy(updates: DataFrame, strategy: str) -> str:
+def _merge_strategy(
+    updates: DataFrame, strategy: str
+) -> tuple[str, DataFrame]:
     """Resolve 'auto' to 'broadcast' or 'shuffle' by the updates-side size.
 
-    The count is one action over the UPDATES side only — by definition the
-    small side of a MERGE (point updates: trivial; bulk batch: one scan of
-    the batch, negligible vs the merge it gates). limit(max+1) caps the
-    work: the count can stop as soon as the threshold is provably crossed."""
+    Returns (strategy, updates): on 'auto' the updates plan is FIRST
+    materialized with an eager localCheckpoint, so the sizing count and
+    the merge join both read the materialized result — without this, a
+    derived updates plan (groupBy/join over a validation log) would
+    execute twice, and limit().count() cannot early-stop a wide plan
+    anyway. The materialization is bounded by the batch itself (the side
+    being sized precisely because it may be large but is still the small
+    side of the MERGE)."""
     if strategy != "auto":
-        return strategy
+        return strategy, updates
+    updates = updates.localCheckpoint(eager=True)
     n = updates.limit(MERGE_BROADCAST_MAX_ROWS + 1).count()
-    return "broadcast" if n <= MERGE_BROADCAST_MAX_ROWS else "shuffle"
+    return ("broadcast" if n <= MERGE_BROADCAST_MAX_ROWS else "shuffle"), updates
 
 
 def _joinable(u: DataFrame, strategy: str) -> DataFrame:
@@ -70,10 +77,11 @@ def merge_update(
     executor, no shuffle of ``base``), 'shuffle' (bulk batches — sort-merge
     join keyed on ``key``; both sides shuffle but nothing must fit in one
     JVM), or 'auto' (pick by updates-side row count)."""
+    strategy, updates = _merge_strategy(updates, strategy)
     u = updates.select(
         F.col(key), *[F.col(c).alias(f"__u_{c}") for c in cols]
     )
-    joined = base.join(_joinable(u, _merge_strategy(updates, strategy)), key, "left")
+    joined = base.join(_joinable(u, strategy), key, "left")
     out = joined
     for c in cols:
         out = out.withColumn(c, F.coalesce(F.col(f"__u_{c}"), F.col(c)))
@@ -101,12 +109,11 @@ def apply_label_validations(
                  doc_id) for bulk validation batches that exceed broadcast
                  size, 'auto' to pick by updates-side row count.
     """
+    strategy, updates = _merge_strategy(updates, strategy)
     upd = updates.groupBy("doc_id").agg(
         F.collect_list(F.struct("token_index", "new_label")).alias("upds")
     )
-    joined = docs.join(
-        _joinable(upd, _merge_strategy(updates, strategy)), "doc_id", "left"
-    )
+    joined = docs.join(_joinable(upd, strategy), "doc_id", "left")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -25,11 +25,19 @@ def score_documents(spark, sf_dir) -> DataFrame:
     # cores (single-row-group parquet here), the one-off repartition is far
     # cheaper than serializing the scoring on one task. At 100 TB the source
     # has thousands of splits and AQE handles layout — this guard only
-    # triggers on small inputs.
-    # inputFiles() is an analysis-time file listing (no RDD conversion /
-    # deserializer setup like .rdd.getNumPartitions() forced per call)
+    # triggers on small inputs. Split-count estimate = total scan bytes /
+    # maxPartitionBytes from Catalyst's analysis-time statistics (no RDD
+    # conversion, and unlike a raw file COUNT it is right in both
+    # directions: many tiny files still coalesce below `par` splits, and
+    # few huge files still produce plenty).
     par = spark.sparkContext.defaultParallelism
-    if len(d.inputFiles()) < par:
+    scan_bytes = int(d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+    raw = raw.strip().lower()
+    mult = units.get(raw[-1], 1)
+    max_split = int(raw.rstrip("kmgb") or "134217728") * mult
+    if scan_bytes < par * max_split:
         d = d.repartition(par)
     scored = d.mapInPandas(
         udfs.make_score_iter(["doc_id", "caption"]),

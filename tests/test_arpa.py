@@ -95,3 +95,18 @@ def test_broadcast_scoring_matches_driver(spark, tmp_path):
     for i, t in enumerate(texts):
         assert got[i] == pytest.approx(quality.perplexity_table(t, tbl), rel=0)
         assert got[i] == pytest.approx(quality.perplexity(t), rel=1e-9)
+
+
+def test_word_level_arpa_raises_instead_of_degenerate_table(tmp_path):
+    """A standard word-level KenLM ARPA file must raise, not silently
+    return the all-floor table that scores every document identically."""
+    p = str(tmp_path / "word.arpa")
+    with open(p, "w") as f:
+        f.write(
+            "\\data\\\nngram 1=3\nngram 2=2\n\n"
+            "\\1-grams:\n-1.0\tthe\t-0.5\n-1.2\tcat\t0.0\n-0.3\t<s>\t0.0\n"
+            "\n\\2-grams:\n-0.5\tthe cat\n-0.9\t<s> the\n"
+            "\n\\end\\\n"
+        )
+    with pytest.raises(ValueError, match="word-level"):
+        quality.load_arpa_char_bigram(p)

@@ -114,9 +114,12 @@ def test_candidates_are_star_edges_with_verified_hamming(spark):
     """Candidate pairs == the band-group star edges that pass the Hamming
     filter (independent brute-force recompute from the sketches), pinning
     both the linear edge shape and the verify predicate."""
+    # orderBy before limit: an unordered limit may pick different rows per
+    # job, and this test runs TWO jobs over `d` (sketch + candidates)
     d = (
         spark.read.parquet(f"{SF}/documents.parquet")
         .select("doc_id", "text")
+        .orderBy("doc_id")
         .limit(300)
     )
     sk = {r["doc_id"]: (r["sh0"], r["sh1"], r["sh2"], r["sh3"])
