@@ -2,12 +2,12 @@
 
 - PNG: a real, spec-conformant encoder/decoder (8-bit RGB, filter 0,
   zlib-compressed IDAT) — output opens in any PNG viewer. Lossless.
-- JPEG: a real baseline JFIF encoder/decoder (``jpegcodec.py``): DCT,
-  Annex-K quantization/Huffman tables, 4:4:4 sampling, byte stuffing.
-  The synthetic pipeline encodes at quality 98 so the noise-heavy synth
-  images hold the 40 dB PSNR invariant from BASELINE.json input_hint
-  (worst measured 43.4 dB; natural images clear 40 dB at far lower
-  quality).
+- JPEG: a real JFIF encoder/decoder (``jpegcodec.py``): DCT, Annex-K
+  quantization/Huffman tables, baseline AND progressive frames, 4:4:4
+  through 4:2:0 sampling, byte stuffing. The synthetic pipeline encodes
+  baseline 4:4:4 at quality 98 so the noise-heavy synth images hold the
+  40 dB PSNR invariant from BASELINE.json input_hint (worst measured
+  43.4 dB; natural images clear 40 dB at far lower quality).
 - FJPG: the legacy deterministic lossy stand-in (step-2 quantization +
   zlib) kept for decode back-compat with data written by earlier rounds;
   ``decode`` dispatches jpeg-format bytes by magic (0xFFD8 vs b"FJPG").

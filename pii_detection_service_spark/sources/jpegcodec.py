@@ -1,7 +1,7 @@
 """Pure-Python baseline JPEG (JFIF) encoder/decoder — no libjpeg/PIL.
 
 Replaces the FJPG stand-in behind the imagecodec seam (VERDICT r1 item 6)
-with a real, spec-conformant baseline sequential JPEG:
+with a real, spec-conformant JPEG — baseline sequential AND progressive:
 
 - encoder: RGB→YCbCr (JFIF), 8×8 forward DCT (matrix form, batched with
   numpy einsum over all blocks), Annex-K quantization tables scaled by a
@@ -10,12 +10,22 @@ with a real, spec-conformant baseline sequential JPEG:
   invariant on noisy synthetic images) through 4:2:0/4:2:2/4:4:0
   (box-averaged chroma, what real-world corpora carry) — interleaved
   MCUs, 0xFF byte stuffing. Output opens in any JPEG viewer.
-- decoder: marker parse (APP*/COM skipped, DQT/DHT/SOF0/SOS honored),
-  canonical Huffman decode, dequantize, inverse zigzag, batched IDCT,
-  YCbCr→RGB. Tables are read from the file, not assumed.
+- decoder: multi-scan marker walk (APP*/COM skipped, DQT/DHT/SOF0/SOF2/
+  SOS honored, tables re-definable between scans), canonical Huffman
+  decode, PROGRESSIVE scans (spectral selection, successive approximation,
+  interleaved DC + single-component AC, EOB runs — T.81 G.2, control flow
+  per the public stb_image/libjpeg structure), dequantize, inverse
+  zigzag, batched IDCT, YCbCr→RGB. Tables are read from the file, not
+  assumed.
+- progressive encoder (encode_progressive_jpeg): 2 DC scans (first at
+  Al=1 + refinement) and per-component AC first/refinement scan pairs,
+  with an EOBn-capable flat AC Huffman table shipped in the stream. It
+  encodes the identical quantized coefficients as the baseline encoder,
+  so progressive and baseline decodes are byte-identical — the pinned
+  cross-check that validates both codec directions against each other.
 
-Honest seams (raise NotImplementedError, never wrong pixels): progressive
-(SOF2) and arithmetic coding, sampling factors above 2, restart
+Honest seams (raise NotImplementedError, never wrong pixels): arithmetic
+coding, lossless/hierarchical frames, sampling factors above 2, restart
 intervals, 12-bit precision, components ≠ 3.
 
 Scale note: the DCT/IDCT and color transforms are numpy-batched across
@@ -186,15 +196,11 @@ def _to_blocks(chan: np.ndarray) -> np.ndarray:
     )
 
 
-def encode_baseline_jpeg(
-    pixels: np.ndarray, quality: int = 92, subsampling: tuple[int, int] = (1, 1)
-) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as baseline JFIF.
-
-    ``subsampling``: (1, 1) → 4:4:4 (every chroma sample kept — holds the
-    40 dB PSNR invariant on noise-heavy content); (2, 2) → 4:2:0 (chroma
-    averaged 2×2 and coded at quarter resolution — what virtually every
-    real-world JPEG uses; ~25-35% smaller files, chroma detail halved)."""
+def _prepare_components(
+    pixels: np.ndarray, quality: int, subsampling: tuple[int, int]
+):
+    """Shared encoder front half: color transform, subsample, batched DCT,
+    quantize. Returns (qts, comp_zz, comp_bw, interleaved MCU sequence)."""
     h, w, c = pixels.shape
     assert c == 3 and pixels.dtype == np.uint8
     sh, sv = subsampling
@@ -248,6 +254,46 @@ def encode_baseline_jpeg(
                     seq.append((0, (sv * my + by) * comp_bw[0] + sh * mx + bx))
             seq.append((1, my * comp_bw[1] + mx))
             seq.append((2, my * comp_bw[2] + mx))
+    return qts, comp_zz, comp_bw, seq
+
+
+def _headers(
+    h: int, w: int, qts, sh: int, sv: int, sof_marker: bytes
+) -> bytearray:
+    """SOI → JFIF → DQT → SOF(0|2) → DHT, shared by both encoders."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            int(x) for x in qt[ZIGZAG]
+        )
+    out += sof_marker + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    y_samp = (sh << 4) | sv  # 0x11 = 4:4:4, 0x22 = 4:2:0
+    for cid, samp, qid in ((1, y_samp, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        out += bytes([cid, samp, qid])
+    for tc_th, bits, vals in (
+        (0x00, _DC_LUM_BITS, _DC_LUM_VALS),
+        (0x10, _AC_LUM_BITS, _AC_LUM_VALS),
+        (0x01, _DC_CHROM_BITS, _DC_CHROM_VALS),
+        (0x11, _AC_CHROM_BITS, _AC_CHROM_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    return out
+
+
+def encode_baseline_jpeg(
+    pixels: np.ndarray, quality: int = 92, subsampling: tuple[int, int] = (1, 1)
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as baseline JFIF.
+
+    ``subsampling``: (1, 1) → 4:4:4 (every chroma sample kept — holds the
+    40 dB PSNR invariant on noise-heavy content); (2, 2) → 4:2:0 (chroma
+    averaged 2×2 and coded at quarter resolution — what virtually every
+    real-world JPEG uses; ~25-35% smaller files, chroma detail halved)."""
+    qts, comp_zz, comp_bw, seq = _prepare_components(pixels, quality, subsampling)
+    h, w, _ = pixels.shape
+    sh, sv = subsampling
 
     tables = [
         (_canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS),
@@ -292,30 +338,232 @@ def encode_baseline_jpeg(
             code, length = ac_tbl[0x00]  # EOB
             bw.write(code, length)
 
-    # --- headers ---
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    for tid, qt in enumerate(qts):
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
-            int(x) for x in qt[ZIGZAG]
-        )
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    y_samp = (sh << 4) | sv  # 0x11 = 4:4:4, 0x22 = 4:2:0
-    for cid, samp, qid in ((1, y_samp, 0), (2, 0x11, 1), (3, 0x11, 1)):
-        out += bytes([cid, samp, qid])
-    for tc_th, bits, vals in (
-        (0x00, _DC_LUM_BITS, _DC_LUM_VALS),
-        (0x10, _AC_LUM_BITS, _AC_LUM_VALS),
-        (0x01, _DC_CHROM_BITS, _DC_CHROM_VALS),
-        (0x11, _AC_CHROM_BITS, _AC_CHROM_VALS),
-    ):
-        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
-        out += bytes(bits) + bytes(vals)
+    out = _headers(h, w, qts, sh, sv, b"\xff\xc0")
     out += b"\xff\xda" + struct.pack(">HB", 12, 3)
     for cid, tsel in ((1, 0x00), (2, 0x11), (3, 0x11)):
         out += bytes([cid, tsel])
     out += b"\x00\x3f\x00"  # spectral selection 0..63, approx 0
     out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _ProgEnc:
+    """Shared state for one progressive AC scan: EOB-run accumulation plus
+    the pending correction bits that must flush WITH the EOBn symbol."""
+
+    def __init__(self, bw: _BitWriter, ac_tbl):
+        self.bw = bw
+        self.ac = ac_tbl
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush_eobrun(self):
+        if self.eobrun > 0:
+            n = self.eobrun.bit_length() - 1
+            code, length = self.ac[n << 4]
+            self.bw.write(code, length)
+            if n:
+                self.bw.write(self.eobrun - (1 << n), n)
+            self.eobrun = 0
+        for b in self.pending:
+            self.bw.write(b, 1)
+        self.pending = []
+
+
+# Progressive AC scans need EOBn (n>0) symbols, which the Annex-K
+# SEQUENTIAL tables don't contain (real progressive encoders ship custom
+# optimized tables in their DHT segments). This flat canonical table
+# assigns every progressive AC symbol — all 16 EOBn/ZRL codes plus
+# (run, size) for size 1..10 — a 9-bit code (176 symbols < 2^9, Kraft-
+# valid): simple, spec-conformant, decoder-agnostic; compression is a few
+# percent worse than an optimized table, which is not what this codec is
+# optimizing for.
+_FLAT_AC_BITS = [0] * 8 + [176] + [0] * 7
+_FLAT_AC_VALS = sorted((r << 4) | s for r in range(16) for s in range(11))
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al truncating toward ZERO (T.81) —
+    arithmetic shift would round negatives the wrong way."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def encode_progressive_jpeg(
+    pixels: np.ndarray, quality: int = 92, subsampling: tuple[int, int] = (1, 1)
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as PROGRESSIVE JFIF (SOF2) with
+    a script exercising both progressive mechanisms:
+
+      1. interleaved DC first scan at Al=1 (successive approximation),
+      2. interleaved DC refinement scan (Ah=1 → Al=0),
+      3. per-component AC first scans, band 1..63 at Al=1 (spectral
+         selection + EOB runs),
+      4. per-component AC refinement scans (Ah=1 → Al=0, correction bits).
+
+    Encodes the IDENTICAL quantized coefficients as the baseline encoder,
+    so decode(progressive) must produce byte-identical pixels to
+    decode(baseline) at the same quality — the round-trip equivalence the
+    tests pin."""
+    qts, comp_zz, comp_bw, seq = _prepare_components(pixels, quality, subsampling)
+    h, w, _ = pixels.shape
+    sh, sv = subsampling
+
+    dc_tbls = [
+        _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS),
+        _canonical_codes(_DC_CHROM_BITS, _DC_CHROM_VALS),
+    ]
+    flat_ac = _canonical_codes(_FLAT_AC_BITS, _FLAT_AC_VALS)
+    ac_tbls = [flat_ac, flat_ac]
+
+    out = _headers(h, w, qts, sh, sv, b"\xff\xc2")
+    # redefine both AC tables with the progressive (EOBn-capable) flat
+    # table — a later DHT definition replaces the earlier one per T.81
+    for tc_th in (0x10, 0x11):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(_FLAT_AC_VALS), tc_th)
+        out += bytes(_FLAT_AC_BITS) + bytes(_FLAT_AC_VALS)
+
+    def sos(comp_ids: list[int], tsels: list[int], ss: int, se: int,
+            ah: int, al: int) -> bytes:
+        hdr = bytearray(
+            b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+        )
+        for cid, tsel in zip(comp_ids, tsels):
+            hdr += bytes([cid, tsel])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return bytes(hdr)
+
+    # --- scan 1: interleaved DC first, Al=1 ---
+    out += sos([1, 2, 3], [0x00, 0x10, 0x10], 0, 0, 0, 1)
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for ci, bi in seq:
+        tbl = dc_tbls[0 if ci == 0 else 1]
+        v = int(comp_zz[ci][bi][0]) >> 1  # DC point transform = arith shift
+        diff = v - prev_dc[ci]
+        prev_dc[ci] = v
+        s, bits = _magnitude(diff)
+        code, length = tbl[s]
+        bw.write(code, length)
+        if s:
+            bw.write(bits, s)
+    out += bw.flush()
+
+    # --- scan 2: interleaved DC refinement, Ah=1 Al=0 ---
+    out += sos([1, 2, 3], [0x00, 0x00, 0x00], 0, 0, 1, 0)
+    bw = _BitWriter()
+    for ci, bi in seq:
+        bw.write(int(comp_zz[ci][bi][0]) & 1, 1)
+    out += bw.flush()
+
+    # --- per-component AC scans (single-component, as the spec requires).
+    # Non-interleaved scans code exactly the blocks covering the
+    # component's OWN sample area (ceil(comp_dim/8) per axis), NOT the
+    # MCU-padded grid — writing a padded grid column desyncs the decoder
+    # mid-row (T.81 A.2.2 vs A.2.3 data-unit counts).
+    for ci in range(3):
+        tsel = 0x00 if ci == 0 else 0x01
+        ac = ac_tbls[0 if ci == 0 else 1]
+        zzs = comp_zz[ci]
+        ch_, cv_ = (sh, sv) if ci == 0 else (1, 1)
+        comp_w = -(-w * ch_ // sh)
+        comp_h = -(-h * cv_ // sv)
+        nb_x, nb_y = (comp_w + 7) // 8, (comp_h + 7) // 8
+        gx = comp_bw[ci]
+        block_order = [
+            byy * gx + bxx for byy in range(nb_y) for bxx in range(nb_x)
+        ]
+
+        # AC first scan: band 1..63, Al=1
+        out += sos([ci + 1], [tsel], 1, 63, 0, 1)
+        bw = _BitWriter()
+        st = _ProgEnc(bw, ac)
+        for bi in block_order:
+            zz = zzs[bi]
+            t = [_pt_ac(int(zz[k]), 1) for k in range(1, 64)]
+            nz = [k for k, v in enumerate(t) if v != 0]
+            if not nz:
+                st.eobrun += 1
+                if st.eobrun == 0x7FFF:
+                    st.flush_eobrun()
+                continue
+            st.flush_eobrun()
+            run = 0
+            for k in range(nz[-1] + 1):
+                v = t[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac[0xF0]
+                    bw.write(code, length)
+                    run -= 16
+                s, bits = _magnitude(v)
+                code, length = ac[(run << 4) | s]
+                bw.write(code, length)
+                bw.write(bits, s)
+                run = 0
+            if nz[-1] + 1 < 63:
+                st.eobrun += 1
+                if st.eobrun == 0x7FFF:
+                    st.flush_eobrun()
+        st.flush_eobrun()
+        out += bw.flush()
+
+        # AC refinement scan: band 1..63, Ah=1 → Al=0 (libjpeg
+        # encode_mcu_AC_refine structure: correction bits for already-
+        # significant coefs ride behind the next emitted symbol / EOBn)
+        out += sos([ci + 1], [tsel], 1, 63, 1, 0)
+        bw = _BitWriter()
+        st = _ProgEnc(bw, ac)
+        for bi in block_order:
+            zz = zzs[bi]
+            absv = [abs(int(zz[k])) for k in range(1, 64)]
+            eob = 0  # index AFTER the last newly-significant coefficient
+            for k, a in enumerate(absv):
+                if a == 1:
+                    eob = k + 1
+            run = 0
+            cur: list[int] = []  # correction bits since the last symbol
+            for k in range(63):
+                a = absv[k]
+                if a == 0:
+                    run += 1
+                    continue
+                # the ZRL drain runs at EVERY nonzero coefficient (incl.
+                # correction-only ones) so no correction bit is ever
+                # buffered at run > 15 — the decoder's ZRL advance only
+                # consumes corrections up to its 16th zero-history slot
+                while run > 15 and k < eob:
+                    st.flush_eobrun()
+                    code, length = ac[0xF0]
+                    bw.write(code, length)
+                    run -= 16
+                    for b in cur:
+                        bw.write(b, 1)
+                    cur = []
+                if a > 1:  # already significant: correction bit only
+                    cur.append(a & 1)
+                    continue
+                # newly significant (|coef| == 1 at this precision)
+                st.flush_eobrun()
+                code, length = ac[(run << 4) | 1]
+                bw.write(code, length)
+                bw.write(1 if int(zz[k + 1]) > 0 else 0, 1)
+                for b in cur:
+                    bw.write(b, 1)
+                cur = []
+                run = 0
+            if run > 0 or cur:
+                # trailing zeros/corrections fold into the EOB run; their
+                # bits ride behind the next EOBn symbol
+                st.eobrun += 1
+                st.pending.extend(cur)
+                if st.eobrun == 0x7FFF:
+                    st.flush_eobrun()
+        st.flush_eobrun()
+        out += bw.flush()
+
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -392,82 +640,25 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_baseline_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline JFIF (any valid tables; 4:4:4, 3 components) to an
-    (h, w, 3) uint8 RGB array. Raises NotImplementedError for progressive,
-    factor-above-2, restart-interval, or non-3-component streams (4:4:4,
-    4:2:0, 4:2:2 and 4:4:0 sampling all decode)."""
-    assert data[:2] == b"\xff\xd8", "not a JPEG (missing SOI)"
-    pos = 2
-    qts: dict[int, np.ndarray] = {}
-    huff: dict[int, dict[tuple[int, int], int]] = {}
-    h = w = 0
-    comps: list[tuple[int, int]] = []  # (component id, qt id)
-    scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
-    while pos < len(data):
-        assert data[pos] == 0xFF, f"marker expected at {pos}"
-        marker = data[pos + 1]
-        pos += 2
-        if marker == 0xD9:  # EOI
-            break
-        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
-        seg = data[pos + 2 : pos + seglen]
-        if marker == 0xDB:  # DQT (possibly multiple tables)
-            sp = 0
-            while sp < len(seg):
-                pq, tq = seg[sp] >> 4, seg[sp] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                zz = np.frombuffer(seg[sp + 1 : sp + 65], np.uint8).astype(np.int32)
-                qts[tq] = zz[_UNZIGZAG].reshape(8, 8)
-                sp += 65
-        elif marker == 0xC4:  # DHT (possibly multiple tables)
-            sp = 0
-            while sp < len(seg):
-                tc_th = seg[sp]
-                bits = list(seg[sp + 1 : sp + 17])
-                nv = sum(bits)
-                vals = list(seg[sp + 17 : sp + 17 + nv])
-                huff[tc_th] = _decode_tree(bits, vals)
-                sp += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
-            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
-            if prec != 8:
-                raise NotImplementedError("only 8-bit precision")
-            if nc != 3:
-                raise NotImplementedError("only 3-component (YCbCr) streams")
-            for i in range(nc):
-                cid, samp, qid = seg[6 + 3 * i : 9 + 3 * i]
-                ch_, cv_ = samp >> 4, samp & 0xF
-                if ch_ not in (1, 2) or cv_ not in (1, 2):
-                    raise NotImplementedError(
-                        f"sampling factor {ch_}x{cv_}: only 1 and 2 are "
-                        "decoded (4:4:4 / 4:2:0 / 4:2:2 / 4:4:0)"
-                    )
-                comps.append((cid, qid, ch_, cv_))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("only baseline sequential (SOF0)")
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals not supported")
-        elif marker == 0xDA:  # SOS
-            ns = seg[0]
-            for i in range(ns):
-                cid, tsel = seg[1 + 2 * i : 3 + 2 * i]
-                idx = next(i for i, cmp in enumerate(comps) if cmp[0] == cid)
-                scan.append((idx, tsel >> 4, tsel & 0xF))
-            pos += seglen
-            break
-        pos += seglen
+def _next_marker(data: bytes, pos: int) -> int:
+    """Advance from inside/after an entropy segment to the next real
+    marker: skip stuffed 0x00 pairs and 0xFF fill bytes."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    return len(data)
 
-    assert comps and scan and h and w, "truncated JPEG (no SOS/SOF)"
-    br = _BitReader(data[pos:])
-    hmax = max(c[2] for c in comps)
-    vmax = max(c[3] for c in comps)
-    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-    # per-component block grids: each MCU carries ch×cv blocks of comp i
-    grid = [(mcus_y * cv, mcus_x * ch) for _, _, ch, cv in comps]
-    coefs = [np.zeros((gy * gx, 64), np.int32) for gy, gx in grid]
+
+def _refine_nonzero(br: _BitReader, zz, k: int, bit: int) -> None:
+    if br.read_bit() and (zz[k] & bit) == 0:
+        zz[k] += bit if zz[k] > 0 else -bit
+
+
+def _decode_sequential_scan(
+    br, scan, comps, grid, coefs, huff, mcus_y, mcus_x
+) -> None:
+    """Baseline interleaved scan: DC diff + full AC band per block."""
     prev_dc = [0] * len(comps)
     for my in range(mcus_y):
         for mx in range(mcus_x):
@@ -495,6 +686,229 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                             s = rs & 0xF
                             zz[k] = _extend(br.read_bits(s), s)
                             k += 1
+
+
+def _decode_progressive_scan(
+    br, scan, ss, se, ah, al, comps, grid, coefs, huff,
+    mcus_y, mcus_x, h, w, hmax, vmax,
+) -> None:
+    """One progressive scan (T.81 G.2; control flow follows the public
+    stb_image/libjpeg structure): DC scans may be interleaved, AC scans
+    are single-component; Ah=0 is a 'first' scan at point transform Al,
+    Ah>0 refines one magnitude bit. EOB runs span blocks within the scan."""
+    if ss == 0:  # --- DC scan ---
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        prev_dc = [0] * len(comps)
+
+        def dc_block(zz, ci, tdc):
+            if ah == 0:
+                s = _read_symbol(br, huff[0x00 | tdc])
+                diff = _extend(br.read_bits(s), s) if s else 0
+                prev_dc[ci] += diff
+                zz[0] = prev_dc[ci] << al
+            else:  # refinement: one bit per block
+                zz[0] |= br.read_bit() << al
+
+        if len(scan) > 1:  # interleaved MCU walk
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci, tdc, _ in scan:
+                        _, _, ch_, cv_ = comps[ci]
+                        gx = grid[ci][1]
+                        for by in range(cv_):
+                            for bx in range(ch_):
+                                dc_block(
+                                    coefs[ci][
+                                        (my * cv_ + by) * gx + mx * ch_ + bx
+                                    ],
+                                    ci, tdc,
+                                )
+        else:  # non-interleaved: the component's own block raster
+            ci, tdc, _ = scan[0]
+            _, _, ch_, cv_ = comps[ci]
+            gx = grid[ci][1]
+            nb_x = (-(-w * ch_ // hmax) + 7) // 8
+            nb_y = (-(-h * cv_ // vmax) + 7) // 8
+            for byy in range(nb_y):
+                for bxx in range(nb_x):
+                    dc_block(coefs[ci][byy * gx + bxx], ci, tdc)
+        return
+
+    # --- AC scan: single component, non-interleaved ---
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    ci, _, tac = scan[0]
+    ac_tree = huff[0x10 | tac]
+    _, _, ch_, cv_ = comps[ci]
+    gx = grid[ci][1]
+    nb_x = (-(-w * ch_ // hmax) + 7) // 8
+    nb_y = (-(-h * cv_ // vmax) + 7) // 8
+    eobrun = 0
+    bit = 1 << al
+    for byy in range(nb_y):
+        for bxx in range(nb_x):
+            zz = coefs[ci][byy * gx + bxx]
+            if ah == 0:  # ----- AC first scan -----
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _read_symbol(br, ac_tree)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r < 15:  # EOBn
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        k += 16  # ZRL
+                    else:
+                        k += r
+                        zz[k] = _extend(br.read_bits(s), s) << al
+                        k += 1
+            else:  # ----- AC refinement scan -----
+                if eobrun > 0:
+                    eobrun -= 1
+                    for k in range(ss, se + 1):
+                        if zz[k] != 0:
+                            _refine_nonzero(br, zz, k, bit)
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _read_symbol(br, ac_tree)
+                    r, s = rs >> 4, rs & 0xF
+                    val = 0
+                    if s == 0:
+                        if r < 15:  # EOBn: correct the rest of the band
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read_bits(r)
+                            r = 64  # force the advance to band end
+                        # r == 15 (ZRL): skip 16 zero-history coefficients
+                    else:
+                        if s != 1:
+                            raise ValueError("bad coefficient in AC refine")
+                        val = bit if br.read_bit() else -bit
+                    while k <= se:
+                        if zz[k] != 0:
+                            _refine_nonzero(br, zz, k, bit)
+                            k += 1
+                        else:
+                            if r == 0:
+                                if val:
+                                    zz[k] = val
+                                k += 1
+                                break
+                            r -= 1
+                            k += 1
+
+
+def decode_baseline_jpeg(data: bytes) -> np.ndarray:
+    """Decode JFIF (any valid tables; 3 components) to an (h, w, 3) uint8
+    RGB array — baseline sequential (SOF0) AND progressive (SOF2, spectral
+    selection + successive approximation, interleaved DC and
+    single-component AC scans, EOB runs). Raises NotImplementedError for
+    sampling factors above 2, restart intervals, arithmetic coding,
+    hierarchical/lossless frames, 12-bit precision, and non-3-component
+    streams."""
+    assert data[:2] == b"\xff\xd8", "not a JPEG (missing SOI)"
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[int, dict[tuple[int, int], int]] = {}
+    h = w = 0
+    progressive = False
+    comps: list[tuple[int, int, int, int]] = []  # (cid, qid, ch, cv)
+    grid: list[tuple[int, int]] = []
+    coefs: list[np.ndarray] = []
+    mcus_x = mcus_y = hmax = vmax = 0
+    saw_scan = False
+    while pos + 1 < len(data):
+        assert data[pos] == 0xFF, f"marker expected at {pos}"
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0xFF:  # fill byte
+            pos -= 1
+            continue
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly multiple tables)
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                zz = np.frombuffer(seg[sp + 1 : sp + 65], np.uint8).astype(np.int32)
+                qts[tq] = zz[_UNZIGZAG].reshape(8, 8)
+                sp += 65
+        elif marker == 0xC4:  # DHT (possibly multiple tables)
+            sp = 0
+            while sp < len(seg):
+                tc_th = seg[sp]
+                bits = list(seg[sp + 1 : sp + 17])
+                nv = sum(bits)
+                vals = list(seg[sp + 17 : sp + 17 + nv])
+                huff[tc_th] = _decode_tree(bits, vals)
+                sp += 17 + nv
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
+            progressive = marker == 0xC2
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            if nc != 3:
+                raise NotImplementedError("only 3-component (YCbCr) streams")
+            for i in range(nc):
+                cid, samp, qid = seg[6 + 3 * i : 9 + 3 * i]
+                ch_, cv_ = samp >> 4, samp & 0xF
+                if ch_ not in (1, 2) or cv_ not in (1, 2):
+                    raise NotImplementedError(
+                        f"sampling factor {ch_}x{cv_}: only 1 and 2 are "
+                        "decoded (4:4:4 / 4:2:0 / 4:2:2 / 4:4:0)"
+                    )
+                comps.append((cid, qid, ch_, cv_))
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            # per-comp block grids: each MCU carries ch×cv blocks of comp i
+            grid = [(mcus_y * cv, mcus_x * ch) for _, _, ch, cv in comps]
+            coefs = [np.zeros((gy * gx, 64), np.int32) for gy, gx in grid]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "only sequential (SOF0/1) and progressive (SOF2) frames"
+            )
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS — one of possibly many scans
+            assert comps, "SOS before SOF"
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cid, tsel = seg[1 + 2 * i : 3 + 2 * i]
+                idx = next(i for i, cmp in enumerate(comps) if cmp[0] == cid)
+                scan.append((idx, tsel >> 4, tsel & 0xF))
+            ss, se, a = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            br = _BitReader(data[pos + seglen :])
+            if progressive:
+                _decode_progressive_scan(
+                    br, scan, ss, se, ah, al, comps, grid, coefs, huff,
+                    mcus_y, mcus_x, h, w, hmax, vmax,
+                )
+            else:
+                assert ss == 0 and se == 63, "partial band in sequential scan"
+                _decode_sequential_scan(
+                    br, scan, comps, grid, coefs, huff, mcus_y, mcus_x
+                )
+            saw_scan = True
+            pos = _next_marker(data, pos + seglen + br.pos)
+            continue
+        pos += seglen
+
+    assert comps and saw_scan and h and w, "truncated JPEG (no SOS/SOF)"
 
     # dequantize + inverse zigzag + batched IDCT per component, then
     # nearest-neighbor upsample subsampled chroma back to full resolution

@@ -56,19 +56,46 @@ def test_quality_monotone_in_size_and_error():
     assert p_lo < p_hi
 
 
-def test_progressive_and_subsampled_raise_honestly():
+def test_unsupported_frames_and_factors_raise_honestly():
     data = bytearray(jpegcodec.encode_baseline_jpeg(synth.pixels_for(2), 92))
-    # rewrite SOF0 → SOF2 (progressive)
+    # rewrite SOF0 → SOF3 (lossless sequential — genuinely unsupported)
     i = bytes(data).index(b"\xff\xc0")
-    prog = data.copy()
-    prog[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
-        jpegcodec.decode_baseline_jpeg(bytes(prog))
+    lossless = data.copy()
+    lossless[i + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="sequential.*progressive"):
+        jpegcodec.decode_baseline_jpeg(bytes(lossless))
     # rewrite Y sampling factor 1x1 → 3x3 (beyond the factor-2 support)
     sub = data.copy()
     sub[i + 11] = 0x33  # SOF payload: len(2) prec(1) h(2) w(2) nc(1), comp0 id
     with pytest.raises(NotImplementedError, match="sampling factor"):
         jpegcodec.decode_baseline_jpeg(bytes(sub))
+
+
+def test_progressive_decodes_byte_identical_to_baseline():
+    """encode_progressive_jpeg emits the IDENTICAL quantized coefficients
+    through the progressive scan script (DC successive approximation, AC
+    spectral selection + refinement, EOB runs), so the decoded pixels must
+    equal the baseline decode exactly — across subsampling modes,
+    qualities, and non-aligned shapes (incl. the widths whose MCU-padded
+    grid exceeds the component's own block count)."""
+    for i, size in ((0, 24), (3, 33), (7, 40)):
+        px = synth.pixels_for(i, size=size)
+        for sub in ((1, 1), (2, 2), (2, 1), (1, 2)):
+            for q in (50, 98):
+                db = jpegcodec.decode_baseline_jpeg(
+                    jpegcodec.encode_baseline_jpeg(px, q, subsampling=sub)
+                )
+                dp = jpegcodec.decode_baseline_jpeg(
+                    jpegcodec.encode_progressive_jpeg(px, q, subsampling=sub)
+                )
+                assert np.array_equal(db, dp), (i, sub, q)
+
+
+def test_progressive_container_structure():
+    data = jpegcodec.encode_progressive_jpeg(synth.pixels_for(1), 92)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data  # SOF2, no SOF0
+    assert data.count(b"\xff\xda") >= 8  # DC first+refine, 3×(AC first+refine)
 
 
 def test_imagecodec_dispatch_real_jpeg_and_legacy_fjpg():
@@ -148,10 +175,12 @@ def test_decode_stats_over_mixed_sampling(spark):
     for i in range(24):
         px = synth.pixels_for(i)
         sub = (2, 2) if i % 2 else (1, 1)
-        rows.append(
-            (f"img_{i:06d}", jpegcodec.encode_baseline_jpeg(px, 98, subsampling=sub),
-             "jpeg")
+        enc = (
+            jpegcodec.encode_progressive_jpeg
+            if i % 3 == 0
+            else jpegcodec.encode_baseline_jpeg
         )
+        rows.append((f"img_{i:06d}", enc(px, 98, subsampling=sub), "jpeg"))
     df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
     got = {r["image_id"]: r for r in multimodal.decode_stats(df).collect()}
     assert len(got) == 24
