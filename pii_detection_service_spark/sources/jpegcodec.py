@@ -26,7 +26,8 @@ with a real, spec-conformant JPEG — baseline sequential AND progressive:
 
 Honest seams (raise NotImplementedError, never wrong pixels): arithmetic
 coding, lossless/hierarchical frames, sampling factors above 2, restart
-intervals, 12-bit precision, components ≠ 3.
+intervals inside progressive scans (sequential restarts decode and
+encode), 12-bit precision, components ≠ 3.
 
 Scale note: the DCT/IDCT and color transforms are numpy-batched across
 every block of the image; only the entropy (Huffman) stage is a Python
@@ -154,6 +155,14 @@ class _BitWriter:
             self.buf.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.buf.append(0x00)
+
+    def restart(self, n: int):
+        """Byte-align (1-bit padding per spec) and emit RSTn (unstuffed —
+        restart markers live raw in the entropy stream)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, 0xD0 + (n & 7)])
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -283,14 +292,20 @@ def _headers(
 
 
 def encode_baseline_jpeg(
-    pixels: np.ndarray, quality: int = 92, subsampling: tuple[int, int] = (1, 1)
+    pixels: np.ndarray,
+    quality: int = 92,
+    subsampling: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as baseline JFIF.
 
     ``subsampling``: (1, 1) → 4:4:4 (every chroma sample kept — holds the
     40 dB PSNR invariant on noise-heavy content); (2, 2) → 4:2:0 (chroma
     averaged 2×2 and coded at quarter resolution — what virtually every
-    real-world JPEG uses; ~25-35% smaller files, chroma detail halved)."""
+    real-world JPEG uses; ~25-35% smaller files, chroma detail halved).
+    ``restart_interval``: if > 0, emit a DRI segment and an RSTn marker
+    every that many MCUs (byte-aligned, DC predictors reset) — the error-
+    resilience layout camera encoders produce."""
     qts, comp_zz, comp_bw, seq = _prepare_components(pixels, quality, subsampling)
     h, w, _ = pixels.shape
     sh, sv = subsampling
@@ -303,7 +318,17 @@ def encode_baseline_jpeg(
     ]
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
-    for ci, bi in seq:
+    blocks_per_mcu = sv * sh + 2
+    rst = 0
+    for i, (ci, bi) in enumerate(seq):
+        if (
+            restart_interval
+            and i
+            and i % (blocks_per_mcu * restart_interval) == 0
+        ):
+            bw.restart(rst)
+            rst = (rst + 1) & 7
+            prev_dc = [0, 0, 0]
         dc_tbl, ac_tbl = tables[0 if ci == 0 else 1]
         zz = comp_zz[ci][bi]
         # DC diffs are provably ≤ 2040 for 8-bit input (|DC| ≤ 1024 at
@@ -339,6 +364,8 @@ def encode_baseline_jpeg(
             bw.write(code, length)
 
     out = _headers(h, w, qts, sh, sv, b"\xff\xc0")
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 12, 3)
     for cid, tsel in ((1, 0x00), (2, 0x11), (3, 0x11)):
         out += bytes([cid, tsel])
@@ -611,6 +638,22 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def consume_restart(self, n: int) -> None:
+        """Discard alignment padding and consume the expected RSTn marker.
+        _fill never advances past a marker, so at a restart boundary
+        ``pos`` sits exactly at the 0xFF; buffered-but-unread bits are the
+        encoder's 1-bit padding (plus _fill's own pad 1s) — dropped."""
+        if self.pos + 1 >= len(self.data) or not (
+            self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0xD0 + (n & 7)
+        ):
+            raise ValueError(
+                f"expected restart marker RST{n & 7} at byte {self.pos}"
+            )
+        self.pos += 2
+        self.acc = 0
+        self.nbits = 0
+
 
 def _decode_tree(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
     """(length, code) → symbol."""
@@ -656,12 +699,21 @@ def _refine_nonzero(br: _BitReader, zz, k: int, bit: int) -> None:
 
 
 def _decode_sequential_scan(
-    br, scan, comps, grid, coefs, huff, mcus_y, mcus_x
+    br, scan, comps, grid, coefs, huff, mcus_y, mcus_x, ri: int = 0
 ) -> None:
-    """Baseline interleaved scan: DC diff + full AC band per block."""
+    """Baseline interleaved scan: DC diff + full AC band per block. With a
+    restart interval ``ri``, every ri MCUs the stream byte-aligns, carries
+    an RSTn marker (cyclic n), and the DC predictors reset."""
     prev_dc = [0] * len(comps)
+    mcu_count = 0
+    rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if ri and mcu_count and mcu_count % ri == 0:
+                br.consume_restart(rst)
+                rst = (rst + 1) & 7
+                prev_dc = [0] * len(comps)
+            mcu_count += 1
             for ci, tdc, tac in scan:
                 _, _, ch_, cv_ = comps[ci]
                 gx = grid[ci][1]
@@ -809,16 +861,18 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
     """Decode JFIF (any valid tables; 3 components) to an (h, w, 3) uint8
     RGB array — baseline sequential (SOF0) AND progressive (SOF2, spectral
     selection + successive approximation, interleaved DC and
-    single-component AC scans, EOB runs). Raises NotImplementedError for
-    sampling factors above 2, restart intervals, arithmetic coding,
-    hierarchical/lossless frames, 12-bit precision, and non-3-component
-    streams."""
+    single-component AC scans, EOB runs) plus sequential restart
+    intervals (DRI/RSTn with DC-predictor resets). Raises
+    NotImplementedError for sampling factors above 2, restarts inside
+    progressive scans, arithmetic coding, hierarchical/lossless frames,
+    12-bit precision, and non-3-component streams."""
     assert data[:2] == b"\xff\xd8", "not a JPEG (missing SOI)"
     pos = 2
     qts: dict[int, np.ndarray] = {}
     huff: dict[int, dict[tuple[int, int], int]] = {}
     h = w = 0
     progressive = False
+    ri = 0  # restart interval in MCUs (DRI)
     comps: list[tuple[int, int, int, int]] = []  # (cid, qid, ch, cv)
     grid: list[tuple[int, int]] = []
     coefs: list[np.ndarray] = []
@@ -880,8 +934,8 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
             raise NotImplementedError(
                 "only sequential (SOF0/1) and progressive (SOF2) frames"
             )
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — one of possibly many scans
             assert comps, "SOS before SOF"
             ns = seg[0]
@@ -894,6 +948,11 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
             ah, al = a >> 4, a & 0xF
             br = _BitReader(data[pos + seglen :])
             if progressive:
+                if ri:
+                    raise NotImplementedError(
+                        "restart intervals in progressive scans are not "
+                        "supported (sequential restarts are)"
+                    )
                 _decode_progressive_scan(
                     br, scan, ss, se, ah, al, comps, grid, coefs, huff,
                     mcus_y, mcus_x, h, w, hmax, vmax,
@@ -901,7 +960,7 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
             else:
                 assert ss == 0 and se == 63, "partial band in sequential scan"
                 _decode_sequential_scan(
-                    br, scan, comps, grid, coefs, huff, mcus_y, mcus_x
+                    br, scan, comps, grid, coefs, huff, mcus_y, mcus_x, ri
                 )
             saw_scan = True
             pos = _next_marker(data, pos + seglen + br.pos)

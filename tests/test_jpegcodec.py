@@ -189,3 +189,21 @@ def test_decode_stats_over_mixed_sampling(spark):
         assert r["decode_ok"] and r["dec_w"] == 24 and r["dec_h"] == 24
         src_mean = float(synth.pixels_for(i).mean())
         assert abs(r["mean_px"] - src_mean) < 3.0, i
+
+
+def test_restart_intervals_roundtrip_and_error_detection():
+    """DRI/RSTn streams (the camera-encoder layout) must decode to pixels
+    identical to the restart-free stream — predictor resets and byte
+    alignment exactly cancel — and a corrupted restart marker must raise
+    rather than desync silently."""
+    px = synth.pixels_for(4, size=29)
+    ref = jpegcodec.decode_baseline_jpeg(jpegcodec.encode_baseline_jpeg(px, 95))
+    data = jpegcodec.encode_baseline_jpeg(px, 95, restart_interval=2)
+    assert b"\xff\xdd" in data  # DRI present
+    assert np.array_equal(ref, jpegcodec.decode_baseline_jpeg(data))
+    # break the first restart marker's index (RST0 -> RST5)
+    i = data.index(b"\xff\xd0")
+    bad = bytearray(data)
+    bad[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="restart marker"):
+        jpegcodec.decode_baseline_jpeg(bytes(bad))

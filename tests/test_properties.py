@@ -164,3 +164,31 @@ def test_jpeg_subsampled_roundtrip_preserves_luma(h, w, seed, sub):
     mse = float(np.mean((luma(px) - luma(out)) ** 2))
     psnr_y = 10.0 * np.log10(255.0**2 / mse) if mse else float("inf")
     assert psnr_y >= 38.0, (sub, psnr_y)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(4, 40),
+    st.integers(4, 40),
+    st.integers(0, 2**32 - 1),
+    st.integers(1, 9),
+    st.sampled_from([(1, 1), (2, 2)]),
+)
+def test_jpeg_restart_interval_roundtrip(h, w, seed, ri, sub):
+    """Restart markers at any interval must leave decoded pixels identical
+    to the restart-free encoding of the same content."""
+    import numpy as np
+
+    from pii_detection_service_spark.sources import jpegcodec
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    ref = jpegcodec.decode_baseline_jpeg(
+        jpegcodec.encode_baseline_jpeg(px, 95, subsampling=sub)
+    )
+    got = jpegcodec.decode_baseline_jpeg(
+        jpegcodec.encode_baseline_jpeg(
+            px, 95, subsampling=sub, restart_interval=ri
+        )
+    )
+    assert np.array_equal(ref, got)
