@@ -257,3 +257,65 @@ def label_strip(spark, sf_dir) -> DataFrame:
         F.concat_ws(" ", stripped).alias("stripped_labels"),
         n_pii.alias("n_pii_tokens"),
     )
+
+
+# Gopher-style repetition thresholds (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", table A1): drop when the most frequent word 2-gram
+# covers > 20% of characters, or the most frequent 3-gram > 18%.
+GOPHER_TOP2_MAX = 0.20
+GOPHER_TOP3_MAX = 0.18
+
+
+def _top_ngram_frac(col: str) -> "F.Column":
+    """chars(most frequent n-gram) · count / chars(text) over a
+    pre-computed n-gram array column — 100% JVM-side higher-order
+    functions (same O(distinct²) per-row counting shape as
+    quality_score's word counts; rows are independent → map-only at any
+    scale). Ties break to the lexicographically smallest n-gram so the
+    fraction is deterministic and oracle-portable. Overlapping
+    occurrences can double-count characters (e.g. 'spam spam spam'), so
+    the fraction clips at 1.0 — matching the public RedPajama
+    implementation of the Gopher rules."""
+    expr = f"""
+    case when size({col}) < 1 then cast(0.0 as double) else
+      aggregate(array_distinct({col}),
+                named_struct('c', 0, 'g', ''),
+                (acc, g) -> if(size(filter({col}, x -> x = g)) > acc.c
+                               or (size(filter({col}, x -> x = g)) = acc.c
+                                   and g < acc.g),
+                            named_struct('c', size(filter({col}, x -> x = g)),
+                                         'g', g),
+                            acc),
+                acc -> least(cast(acc.c * length(acc.g) as double) / length(text),
+                             cast(1.0 as double)))
+    end
+    """
+    return F.expr(expr)
+
+
+def gopher_repetition(spark, sf_dir) -> DataFrame:
+    """Gopher repetition rules: fraction of characters covered by the most
+    frequent word 2-/3-gram, and the keep decision at the published
+    thresholds. Unrounded rational outputs (int·int/int divisions are
+    bit-identical across engines)."""
+    d = table(spark, sf_dir, "documents")
+    for n in (2, 3):
+        d = d.withColumn(
+            f"gs{n}",
+            # explicit guard: sequence(1, 0) DESCENDS in Spark, so a
+            # short doc must yield an empty gram array, not bogus slices
+            F.expr(
+                f"if(size(split(text, ' ')) < {n}, array(), "
+                f"transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
+                f"i -> array_join(slice(split(text, ' '), i, {n}), ' ')))"
+            ),
+        )
+    return d.select(
+        "doc_id",
+        _top_ngram_frac("gs2").alias("top2_frac"),
+        _top_ngram_frac("gs3").alias("top3_frac"),
+    ).withColumn(
+        "keep_rep",
+        (F.col("top2_frac") <= GOPHER_TOP2_MAX)
+        & (F.col("top3_frac") <= GOPHER_TOP3_MAX),
+    )

@@ -439,6 +439,51 @@ def _ivf_learned_sql(iters: int = 2, n_probe: int = 2) -> str:
     return ", ".join(parts) + " " + sel
 
 
+def _gopher_sql() -> str:
+    """DuckDB twin of textstats.gopher_repetition: same n-gram sets, same
+    (count desc, gram asc) argmax, same clip-at-1 fraction. Deliberately
+    RELATIONAL (unnest → group → rank) rather than a nested-lambda
+    transliteration of the Spark HOFs: DuckDB's vectorized evaluation of a
+    list_filter capturing an enclosing list_transform's variable returned
+    inconsistent counts between filtered and full-table scans (observed on
+    1.x) — unnest/GROUP BY sidesteps lambda capture entirely. Rational
+    outputs stay unrounded (int·int/int divisions are identical doubles)."""
+    from .operators import textstats as _ts
+
+    def gram_cte(n: int) -> str:
+        return f"""
+e{n} AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, len(string_split(text, ' ')) - {n - 2}),
+           i -> array_to_string(list_slice(string_split(text, ' '),
+                                           i, i + {n - 1}), ' '))) AS gram
+  FROM documents WHERE len(string_split(text, ' ')) >= {n}),
+c{n} AS (SELECT doc_id, gram, count(*)::INTEGER AS c
+         FROM e{n} GROUP BY doc_id, gram),
+w{n} AS (SELECT doc_id, c, gram FROM (
+          SELECT doc_id, c, gram,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY c DESC, gram) AS rn
+          FROM c{n}) t WHERE rn = 1)"""
+
+    return f"""
+WITH {gram_cte(2)}, {gram_cte(3)},
+f AS (
+  SELECT d.doc_id,
+         coalesce(least((w2.c * length(w2.gram))::DOUBLE / length(d.text),
+                        1.0), 0.0) AS top2_frac,
+         coalesce(least((w3.c * length(w3.gram))::DOUBLE / length(d.text),
+                        1.0), 0.0) AS top3_frac
+  FROM documents d
+  LEFT JOIN w2 ON w2.doc_id = d.doc_id
+  LEFT JOIN w3 ON w3.doc_id = d.doc_id)
+SELECT doc_id, top2_frac, top3_frac,
+       top2_frac <= {_ts.GOPHER_TOP2_MAX!r}
+       AND top3_frac <= {_ts.GOPHER_TOP3_MAX!r} AS keep_rep
+FROM f
+"""
+
+
 _BANDS_UNION = " UNION ALL ".join(
     f"SELECT doc_id, {band} AS band, "
     f"mh{2 * band}::VARCHAR || '_' || mh{2 * band + 1}::VARCHAR AS band_key FROM sig"
@@ -925,6 +970,7 @@ ORACLES: dict[str, str | None] = {
     """,
     # audio gate: exact oracle (see _multimodal_audio_keep docstring)
     "multimodal_audio_keep": _audio_keep_sql(),
+    "quality_gopher_repetition": _gopher_sql(),
     # --- UDF-backed pipeline queries: rows-only driver check ---
     "pipeline_score_documents": None,
     "pipeline_scores_quantized": _kernel_scores_sql(),
@@ -996,6 +1042,7 @@ SPARK_BUILDERS = {
     # and learned-IVF queries rotated in ---
     "tfidf_top_terms": textstats.tfidf_top_terms,
     "rollup_doc_counts": relational.rollup_doc_counts,
+    "quality_gopher_repetition": textstats.gopher_repetition,
     "dedup_jaccard_pairs": dedup.jaccard_pairs,
     # --- rows-only (no exact oracle possible) entries LAST: the driver's
     # correctness window covers the first 50 registered queries, and every

@@ -61,3 +61,57 @@ def test_pii_dataset_ingest(spark, tmp_path):
     assert r["tokens"] == ["a", "b"] and r["labels"] == ["O", "O"]
     test = json_ingest.read_pii_dataset(spark, str(p), is_train=False)
     assert "labels" not in test.columns
+
+
+def test_gopher_repetition_edge_cases_and_ground_truth(spark):
+    """Gopher repetition fractions on planted docs: empty/short docs score
+    0, pathological repeats clip at 1.0, and a normal doc matches an
+    independent pure-Python recompute of count·len/chars with the
+    (count desc, gram asc) tie-break."""
+    import collections
+
+    import pyspark.sql.functions as F
+
+    from pii_detection_service_spark.operators import textstats
+
+    docs = [
+        (0, ""),
+        (1, "one"),
+        (2, "a b"),
+        (3, "spam spam spam spam spam"),
+        (4, "the cat sat on the cat mat and the cat ran"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    # route the builder through a temp dir shape: call internals directly
+    for n in (2, 3):
+        d = d.withColumn(
+            f"gs{n}",
+            F.expr(
+                f"if(size(split(text, ' ')) < {n}, array(), "
+                f"transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
+                f"i -> array_join(slice(split(text, ' '), i, {n}), ' ')))"
+            ),
+        )
+    got = {
+        r["doc_id"]: (r["t2"], r["t3"])
+        for r in d.select(
+            "doc_id",
+            textstats._top_ngram_frac("gs2").alias("t2"),
+            textstats._top_ngram_frac("gs3").alias("t3"),
+        ).collect()
+    }
+    assert got[0] == (0.0, 0.0) and got[1] == (0.0, 0.0)
+    assert got[2] == (1.0, 0.0)      # 'a b' covers every char
+    assert got[3] == (1.0, 1.0)      # overlapping repeats clip at 1.0
+
+    def ref(text, n):
+        ws = text.split(" ")
+        grams = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+        if not grams:
+            return 0.0
+        c = collections.Counter(grams)
+        mx = max(c.values())
+        g = min(k for k, v in c.items() if v == mx)
+        return min(1.0, mx * len(g) / len(text))
+
+    assert got[4] == (ref(docs[4][1], 2), ref(docs[4][1], 3))
