@@ -293,6 +293,17 @@ def _top_ngram_frac(col: str) -> "F.Column":
     return F.expr(expr)
 
 
+def _gram_expr(n: int) -> str:
+    """SQL expression for the word n-gram array of `text` (empty array for
+    docs shorter than n words — sequence(1, 0) DESCENDS in Spark, so the
+    guard is load-bearing). Shared by gopher_repetition and its tests."""
+    return (
+        f"if(size(split(text, ' ')) < {n}, array(), "
+        f"transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
+        f"i -> array_join(slice(split(text, ' '), i, {n}), ' ')))"
+    )
+
+
 def gopher_repetition(spark, sf_dir) -> DataFrame:
     """Gopher repetition rules: fraction of characters covered by the most
     frequent word 2-/3-gram, and the keep decision at the published
@@ -300,16 +311,7 @@ def gopher_repetition(spark, sf_dir) -> DataFrame:
     bit-identical across engines)."""
     d = table(spark, sf_dir, "documents")
     for n in (2, 3):
-        d = d.withColumn(
-            f"gs{n}",
-            # explicit guard: sequence(1, 0) DESCENDS in Spark, so a
-            # short doc must yield an empty gram array, not bogus slices
-            F.expr(
-                f"if(size(split(text, ' ')) < {n}, array(), "
-                f"transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
-                f"i -> array_join(slice(split(text, ' '), i, {n}), ' ')))"
-            ),
-        )
+        d = d.withColumn(f"gs{n}", F.expr(_gram_expr(n)))
     return d.select(
         "doc_id",
         _top_ngram_frac("gs2").alias("top2_frac"),

@@ -267,9 +267,13 @@ def _prepare_components(
 
 
 def _headers(
-    h: int, w: int, qts, sh: int, sv: int, sof_marker: bytes
+    h: int, w: int, qts, sh: int, sv: int, sof_marker: bytes,
+    ac_tables=None,
 ) -> bytearray:
-    """SOI → JFIF → DQT → SOF(0|2) → DHT, shared by both encoders."""
+    """SOI → JFIF → DQT → SOF(0|2) → DHT, shared by both encoders.
+    ``ac_tables``: [(bits, vals) lum, (bits, vals) chrom] override — the
+    progressive encoder ships its EOBn-capable flat table INSTEAD of the
+    Annex-K sequential AC tables (which no progressive scan uses)."""
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for tid, qt in enumerate(qts):
@@ -280,11 +284,15 @@ def _headers(
     y_samp = (sh << 4) | sv  # 0x11 = 4:4:4, 0x22 = 4:2:0
     for cid, samp, qid in ((1, y_samp, 0), (2, 0x11, 1), (3, 0x11, 1)):
         out += bytes([cid, samp, qid])
-    for tc_th, bits, vals in (
-        (0x00, _DC_LUM_BITS, _DC_LUM_VALS),
-        (0x10, _AC_LUM_BITS, _AC_LUM_VALS),
-        (0x01, _DC_CHROM_BITS, _DC_CHROM_VALS),
-        (0x11, _AC_CHROM_BITS, _AC_CHROM_VALS),
+    ac_lum, ac_chrom = ac_tables or (
+        (_AC_LUM_BITS, _AC_LUM_VALS),
+        (_AC_CHROM_BITS, _AC_CHROM_VALS),
+    )
+    for tc_th, (bits, vals) in (
+        (0x00, (_DC_LUM_BITS, _DC_LUM_VALS)),
+        (0x10, ac_lum),
+        (0x01, (_DC_CHROM_BITS, _DC_CHROM_VALS)),
+        (0x11, ac_chrom),
     ):
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
         out += bytes(bits) + bytes(vals)
@@ -296,6 +304,7 @@ def encode_baseline_jpeg(
     quality: int = 92,
     subsampling: tuple[int, int] = (1, 1),
     restart_interval: int = 0,
+    scan_layout: str = "interleaved",
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as baseline JFIF.
 
@@ -305,7 +314,11 @@ def encode_baseline_jpeg(
     real-world JPEG uses; ~25-35% smaller files, chroma detail halved).
     ``restart_interval``: if > 0, emit a DRI segment and an RSTn marker
     every that many MCUs (byte-aligned, DC predictors reset) — the error-
-    resilience layout camera encoders produce."""
+    resilience layout camera encoders produce.
+    ``scan_layout``: 'interleaved' (one SOS, the common layout) or
+    'per_component' (three Ns=1 scans walking each component's OWN block
+    raster per T.81 A.2.2 — the layout that exposes non-interleaved
+    decode paths)."""
     qts, comp_zz, comp_bw, seq = _prepare_components(pixels, quality, subsampling)
     h, w, _ = pixels.shape
     sh, sv = subsampling
@@ -316,19 +329,9 @@ def encode_baseline_jpeg(
         (_canonical_codes(_DC_CHROM_BITS, _DC_CHROM_VALS),
          _canonical_codes(_AC_CHROM_BITS, _AC_CHROM_VALS)),
     ]
-    bw = _BitWriter()
     prev_dc = [0, 0, 0]
-    blocks_per_mcu = sv * sh + 2
-    rst = 0
-    for i, (ci, bi) in enumerate(seq):
-        if (
-            restart_interval
-            and i
-            and i % (blocks_per_mcu * restart_interval) == 0
-        ):
-            bw.restart(rst)
-            rst = (rst + 1) & 7
-            prev_dc = [0, 0, 0]
+
+    def emit_block(bw: _BitWriter, ci: int, bi: int) -> None:
         dc_tbl, ac_tbl = tables[0 if ci == 0 else 1]
         zz = comp_zz[ci][bi]
         # DC diffs are provably ≤ 2040 for 8-bit input (|DC| ≤ 1024 at
@@ -366,6 +369,45 @@ def encode_baseline_jpeg(
     out = _headers(h, w, qts, sh, sv, b"\xff\xc0")
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    if scan_layout == "per_component":
+        if restart_interval:
+            raise NotImplementedError(
+                "restart intervals with per-component sequential scans are "
+                "not emitted (interleaved restarts are)"
+            )
+        for ci in range(3):
+            tsel = 0x00 if ci == 0 else 0x11
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            out += bytes([ci + 1, tsel])
+            out += b"\x00\x3f\x00"
+            bw = _BitWriter()
+            prev_dc[ci] = 0
+            ch_, cv_ = (sh, sv) if ci == 0 else (1, 1)
+            nb_x = (-(-w * ch_ // sh) + 7) // 8
+            nb_y = (-(-h * cv_ // sv) + 7) // 8
+            gx = comp_bw[ci]
+            for byy in range(nb_y):
+                for bxx in range(nb_x):
+                    emit_block(bw, ci, byy * gx + bxx)
+            out += bw.flush()
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    bw = _BitWriter()
+    blocks_per_mcu = sv * sh + 2
+    rst = 0
+    for i, (ci, bi) in enumerate(seq):
+        if (
+            restart_interval
+            and i
+            and i % (blocks_per_mcu * restart_interval) == 0
+        ):
+            bw.restart(rst)
+            rst = (rst + 1) & 7
+            prev_dc = [0, 0, 0]
+        emit_block(bw, ci, bi)
+
     out += b"\xff\xda" + struct.pack(">HB", 12, 3)
     for cid, tsel in ((1, 0x00), (2, 0x11), (3, 0x11)):
         out += bytes([cid, tsel])
@@ -443,12 +485,8 @@ def encode_progressive_jpeg(
     flat_ac = _canonical_codes(_FLAT_AC_BITS, _FLAT_AC_VALS)
     ac_tbls = [flat_ac, flat_ac]
 
-    out = _headers(h, w, qts, sh, sv, b"\xff\xc2")
-    # redefine both AC tables with the progressive (EOBn-capable) flat
-    # table — a later DHT definition replaces the earlier one per T.81
-    for tc_th in (0x10, 0x11):
-        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(_FLAT_AC_VALS), tc_th)
-        out += bytes(_FLAT_AC_BITS) + bytes(_FLAT_AC_VALS)
+    flat = (_FLAT_AC_BITS, _FLAT_AC_VALS)
+    out = _headers(h, w, qts, sh, sv, b"\xff\xc2", ac_tables=(flat, flat))
 
     def sos(comp_ids: list[int], tsels: list[int], ss: int, se: int,
             ah: int, al: int) -> bytes:
@@ -699,45 +737,73 @@ def _refine_nonzero(br: _BitReader, zz, k: int, bit: int) -> None:
 
 
 def _decode_sequential_scan(
-    br, scan, comps, grid, coefs, huff, mcus_y, mcus_x, ri: int = 0
+    br, scan, comps, grid, coefs, huff, mcus_y, mcus_x,
+    h: int, w: int, hmax: int, vmax: int, ri: int = 0,
 ) -> None:
-    """Baseline interleaved scan: DC diff + full AC band per block. With a
-    restart interval ``ri``, every ri MCUs the stream byte-aligns, carries
-    an RSTn marker (cyclic n), and the DC predictors reset."""
+    """Baseline sequential scan: DC diff + full AC band per block.
+
+    Interleaved (Ns > 1) scans walk MCUs; a single-component scan is
+    NON-interleaved per T.81 A.2.2 — it walks the component's OWN block
+    raster (ceil(comp_dim/8) per axis), which differs from the MCU-padded
+    grid both in order and in count for subsampled components. With a
+    restart interval ``ri``, every ri MCUs/data-units the stream
+    byte-aligns, carries an RSTn marker (cyclic n), and the DC predictor
+    resets."""
     prev_dc = [0] * len(comps)
-    mcu_count = 0
-    rst = 0
+    rst_state = [0, 0]  # (units since restart, next marker index)
+
+    def maybe_restart():
+        if ri and rst_state[0] and rst_state[0] % ri == 0:
+            br.consume_restart(rst_state[1])
+            rst_state[1] = (rst_state[1] + 1) & 7
+            for i in range(len(prev_dc)):
+                prev_dc[i] = 0
+        rst_state[0] += 1
+
+    def seq_block(zz, ci, tdc, tac):
+        dc_tree = huff[0x00 | tdc]
+        ac_tree = huff[0x10 | tac]
+        s = _read_symbol(br, dc_tree)
+        diff = _extend(br.read_bits(s), s) if s else 0
+        prev_dc[ci] += diff
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k <= 63:
+            rs = _read_symbol(br, ac_tree)
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            s = rs & 0xF
+            zz[k] = _extend(br.read_bits(s), s)
+            k += 1
+
+    if len(scan) == 1:  # non-interleaved: the component's own raster
+        ci, tdc, tac = scan[0]
+        _, _, ch_, cv_ = comps[ci]
+        gx = grid[ci][1]
+        nb_x = (-(-w * ch_ // hmax) + 7) // 8
+        nb_y = (-(-h * cv_ // vmax) + 7) // 8
+        for byy in range(nb_y):
+            for bxx in range(nb_x):
+                maybe_restart()
+                seq_block(coefs[ci][byy * gx + bxx], ci, tdc, tac)
+        return
+
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            if ri and mcu_count and mcu_count % ri == 0:
-                br.consume_restart(rst)
-                rst = (rst + 1) & 7
-                prev_dc = [0] * len(comps)
-            mcu_count += 1
+            maybe_restart()
             for ci, tdc, tac in scan:
                 _, _, ch_, cv_ = comps[ci]
                 gx = grid[ci][1]
-                dc_tree = huff[0x00 | tdc]
-                ac_tree = huff[0x10 | tac]
                 for by in range(cv_):
                     for bx in range(ch_):
-                        zz = coefs[ci][(my * cv_ + by) * gx + mx * ch_ + bx]
-                        s = _read_symbol(br, dc_tree)
-                        diff = _extend(br.read_bits(s), s) if s else 0
-                        prev_dc[ci] += diff
-                        zz[0] = prev_dc[ci]
-                        k = 1
-                        while k <= 63:
-                            rs = _read_symbol(br, ac_tree)
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            s = rs & 0xF
-                            zz[k] = _extend(br.read_bits(s), s)
-                            k += 1
+                        seq_block(
+                            coefs[ci][(my * cv_ + by) * gx + mx * ch_ + bx],
+                            ci, tdc, tac,
+                        )
 
 
 def _decode_progressive_scan(
@@ -960,7 +1026,8 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
             else:
                 assert ss == 0 and se == 63, "partial band in sequential scan"
                 _decode_sequential_scan(
-                    br, scan, comps, grid, coefs, huff, mcus_y, mcus_x, ri
+                    br, scan, comps, grid, coefs, huff, mcus_y, mcus_x,
+                    h, w, hmax, vmax, ri,
                 )
             saw_scan = True
             pos = _next_marker(data, pos + seglen + br.pos)

@@ -34,11 +34,8 @@ def test_cobucketed_join_has_no_shuffle(spark, bucketed_tables):
     assert df.count() == 1000
 
     # contrast: the SAME join over unbucketed data shuffles both sides
-    plain = (
-        spark.table(left)
-        .write.mode("overwrite")
-        .format("parquet")
-        .saveAsTable("t_docs_plain")
+    spark.table(left).write.mode("overwrite").format("parquet").saveAsTable(
+        "t_docs_plain"
     )
     spark.table(right).write.mode("overwrite").format("parquet").saveAsTable(
         "t_labels_plain"

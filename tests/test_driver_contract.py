@@ -84,14 +84,7 @@ def test_gopher_repetition_edge_cases_and_ground_truth(spark):
     d = spark.createDataFrame(docs, "doc_id long, text string")
     # route the builder through a temp dir shape: call internals directly
     for n in (2, 3):
-        d = d.withColumn(
-            f"gs{n}",
-            F.expr(
-                f"if(size(split(text, ' ')) < {n}, array(), "
-                f"transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
-                f"i -> array_join(slice(split(text, ' '), i, {n}), ' ')))"
-            ),
-        )
+        d = d.withColumn(f"gs{n}", F.expr(textstats._gram_expr(n)))
     got = {
         r["doc_id"]: (r["t2"], r["t3"])
         for r in d.select(

@@ -207,3 +207,23 @@ def test_restart_intervals_roundtrip_and_error_detection():
     bad[i + 1] = 0xD5
     with pytest.raises(ValueError, match="restart marker"):
         jpegcodec.decode_baseline_jpeg(bytes(bad))
+
+
+def test_per_component_sequential_scans_decode_identically():
+    """Non-interleaved sequential scans (three Ns=1 SOS, each walking the
+    component's OWN block raster per T.81 A.2.2) must decode to pixels
+    identical to the interleaved layout — including subsampled components
+    whose own raster differs from the MCU-padded grid in both order and
+    block count."""
+    for i, size in ((0, 24), (5, 33)):
+        px = synth.pixels_for(i, size=size)
+        for sub in ((1, 1), (2, 2), (2, 1)):
+            ref = jpegcodec.decode_baseline_jpeg(
+                jpegcodec.encode_baseline_jpeg(px, 95, subsampling=sub)
+            )
+            data = jpegcodec.encode_baseline_jpeg(
+                px, 95, subsampling=sub, scan_layout="per_component"
+            )
+            assert data.count(b"\xff\xda") == 3
+            got = jpegcodec.decode_baseline_jpeg(data)
+            assert np.array_equal(ref, got), (i, sub)
