@@ -58,6 +58,7 @@ def main():
         "dedup_simhash_candidates",
         "ann_search_ivf_learned",
         "multimodal_audio_keep",
+        "quality_gopher_repetition",
     ]
     out = ["# PLANS — formatted physical plans for load-bearing queries", ""]
     for name in picks:
