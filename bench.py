@@ -66,6 +66,7 @@ def main():
         "dedup_simhash_candidates",
         "ann_search_ivf_learned",
         "multimodal_audio_keep",
+        "quality_gopher_repetition",
     ]
 
     # Warm the Python worker pool (each worker cold-imports pandas/numpy
