@@ -58,7 +58,9 @@ def extract_features(df: DataFrame, grid: int = 4) -> DataFrame:
         for pdf in batches:
             ids, feats = [], []
             for iid, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
-                px = imagecodec.decode(bytes(data), fmt).astype(np.float32)
+                px = imagecodec.to_rgb(
+                    imagecodec.decode(bytes(data), fmt)
+                ).astype(np.float32)
                 h, w, _ = px.shape
                 ys = (np.arange(grid + 1) * h) // grid
                 xs = (np.arange(grid + 1) * w) // grid
@@ -82,7 +84,7 @@ def resize(df: DataFrame, out_size: int) -> DataFrame:
         for pdf in batches:
             rows = []
             for iid, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
-                px = imagecodec.decode(bytes(data), fmt)
+                px = imagecodec.to_rgb(imagecodec.decode(bytes(data), fmt))
                 h, w, _ = px.shape
                 yi = (np.arange(out_size) * h) // out_size
                 xi = (np.arange(out_size) * w) // out_size
@@ -132,7 +134,13 @@ def audio_stats(df: DataFrame) -> DataFrame:
                 n = len(x)
                 rms = float(np.sqrt((x * x).mean())) if n else 0.0
                 zcr = float((np.diff(np.signbit(x)) != 0).mean()) if n > 1 else 0.0
-                clip = float((np.abs(s) >= AUDIO_CLIP_LEVEL).mean()) if n else 0.0
+                # widen before abs: np.abs(int16 -32768) overflows back to
+                # -32768 and would drop negative-rail saturation from the count
+                clip = (
+                    float((np.abs(s.astype(np.float64)) >= AUDIO_CLIP_LEVEL).mean())
+                    if n
+                    else 0.0
+                )
                 sil = float((np.abs(x) < 1e-3).mean()) if n else 1.0
                 rows.append(
                     (aid, sr, n, n / sr, rms, zcr, clip, sil)

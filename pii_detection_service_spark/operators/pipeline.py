@@ -15,6 +15,24 @@ from pyspark.sql import DataFrame
 from .. import udfs
 from .relational import table
 
+_BYTE_UNITS = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_byte_string(raw: str, default: int = 134217728) -> int:
+    """Spark size-conf parser accepting the full two-letter suffixes the JVM
+    does ('128mb', '1g', '134217728b', bare digits). A malformed value falls
+    back to the Spark default rather than raising mid-query."""
+    import re
+
+    m = re.fullmatch(r"(\d+)\s*([kmgt]?b?)", raw.strip().lower())
+    return int(m.group(1)) * _BYTE_UNITS[m.group(2)] if m else default
+
 
 def score_documents(spark, sf_dir) -> DataFrame:
     """The flagship stage's scoring pass with documents.text as captions."""
@@ -33,10 +51,7 @@ def score_documents(spark, sf_dir) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     scan_bytes = int(d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
-    raw = raw.strip().lower()
-    mult = units.get(raw[-1], 1)
-    max_split = int(raw.rstrip("kmgb") or "134217728") * mult
+    max_split = _parse_byte_string(raw)
     if scan_bytes < par * max_split:
         d = d.repartition(par)
     scored = d.mapInPandas(

@@ -45,6 +45,16 @@ def _multimodal_decode_stats(spark, sf_dir):
     return multimodal.decode_stats(synth_spark(spark, 500))
 
 
+def _multimodal_decode_stats_mixed(spark, sf_dir):
+    """Decode stats over the REAL-corpus format mix — PNG, baseline color
+    JPEG, grayscale (1-component) JPEG, 4:2:0 color JPEG — proving the
+    decode plumbing is shape-stable across 1- and 3-component sources
+    (rows-only: binary media has no SQL decoder)."""
+    from .sources.synth import synth_spark_mixed
+
+    return multimodal.decode_stats(synth_spark_mixed(spark, 400))
+
+
 def _multimodal_features(spark, sf_dir):
     from .sources.synth import synth_spark
 
@@ -112,7 +122,8 @@ def _audio_keep_sql(n: int = 300) -> str:
         s = wavcodec.synth_clip(i)
         x = s.astype(np.float64) / 32768.0
         rms = float(np.sqrt((x * x).mean()))
-        clip = float((np.abs(s) >= mm.AUDIO_CLIP_LEVEL).mean())
+        # same int16-widening as multimodal.audio_stats (−32768 abs overflow)
+        clip = float((np.abs(s.astype(np.float64)) >= mm.AUDIO_CLIP_LEVEL).mean())
         sil = float((np.abs(x) < 1e-3).mean())
         vals.append(
             f"('aud_{i:08d}', 16000, {len(x)}, {rms!r}, {clip!r}, {sil!r})"
@@ -413,10 +424,12 @@ def _ivf_learned_sql(iters: int = 2, n_probe: int = 2) -> str:
             f"count(*) AS n FROM (SELECT a{it}.cell, "
             "unnest(list_transform(e.q, (x, i) -> {'d': i, 'x': x})) AS u "
             f"FROM a{it} JOIN e USING (vec_id)) t GROUP BY cell, u.d), "
-            f"{cur} AS (SELECT c0.cid, coalesce(n{it}.c, c0.c) AS c FROM c0 "
-            f"LEFT JOIN (SELECT cell AS cid, "
+            # empty-cell fallback keeps the PREVIOUS iteration's centroid
+            # (not the initial one) — must match similarity.ivf_learned_search
+            f"{cur} AS (SELECT {prev}.cid, coalesce(n{it}.c, {prev}.c) AS c "
+            f"FROM {prev} LEFT JOIN (SELECT cell AS cid, "
             f"list(floor(s::DOUBLE / n)::BIGINT ORDER BY dim) AS c "
-            f"FROM s{it} GROUP BY cell) n{it} ON n{it}.cid = c0.cid)"
+            f"FROM s{it} GROUP BY cell) n{it} ON n{it}.cid = {prev}.cid)"
         )
     fin = f"c{iters}"
     parts.append(
@@ -977,6 +990,7 @@ ORACLES: dict[str, str | None] = {
     "pipeline_predict_documents": None,
     # --- multimodal (binary image columns): no SQL decoder → rows-only ---
     "multimodal_decode_stats": None,
+    "multimodal_decode_stats_mixed": None,
     "multimodal_features": None,
     "multimodal_audio_stats": None,
     "multimodal_resize": None,
@@ -1051,6 +1065,7 @@ SPARK_BUILDERS = {
     "pipeline_score_documents": pipeline.score_documents,
     "pipeline_predict_documents": pipeline.predict_documents,
     "multimodal_decode_stats": _multimodal_decode_stats,
+    "multimodal_decode_stats_mixed": _multimodal_decode_stats_mixed,
     "multimodal_features": _multimodal_features,
     "multimodal_audio_stats": _multimodal_audio_stats,
     "multimodal_resize": _multimodal_resize,

@@ -121,6 +121,15 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
     )
 
 
+def to_rgb(px: np.ndarray) -> np.ndarray:
+    """Channel-normalize decoded pixels: grayscale (h, w) broadcasts to
+    (h, w, 3) so downstream feature/resize plumbing is shape-stable across
+    1- and 3-component sources (what a real ingest does before any model)."""
+    if px.ndim == 2:
+        return np.repeat(px[..., None], 3, axis=-1)
+    return px
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
     if mse == 0.0:

@@ -417,6 +417,81 @@ def encode_baseline_jpeg(
     return bytes(out)
 
 
+def encode_grayscale_jpeg(pixels: np.ndarray, quality: int = 92) -> bytes:
+    """Encode an (h, w) uint8 grayscale array as a 1-component baseline
+    JFIF (Nf=1; the plane IS Y, no color transform). One Ns=1 scan walking
+    the component's own block raster per T.81 A.2.2 — the layout every
+    real-world grayscale JPEG uses."""
+    assert pixels.ndim == 2 and pixels.dtype == np.uint8
+    h, w = pixels.shape
+    qt = _scaled_qt(_QT_LUM, quality)
+    plane = np.pad(
+        pixels.astype(np.float64), ((0, -h % 8), (0, -w % 8)), mode="edge"
+    )
+    blocks = _to_blocks(plane) - 128.0
+    coefs = np.einsum("ux,nxy,vy->nuv", _D, blocks, _D)
+    quant = np.round(coefs / qt.reshape(8, 8)).astype(np.int32)
+    zzs = quant.reshape(-1, 64)[:, ZIGZAG]
+    np.clip(zzs[:, 1:], -1023, 1023, out=zzs[:, 1:])  # same guard as color
+
+    dc_tbl = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_tbl = _canonical_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(
+        int(x) for x in qt[ZIGZAG]
+    )
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += bytes([1, 0x11, 0])
+    for tc_th, (bits, vals) in (
+        (0x00, (_DC_LUM_BITS, _DC_LUM_VALS)),
+        (0x10, (_AC_LUM_BITS, _AC_LUM_VALS)),
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+    out += b"\x00\x3f\x00"  # spectral selection 0..63, approx 0
+    bw = _BitWriter()
+    prev_dc = 0
+    for zz in zzs:
+        diff = min(max(int(zz[0]) - prev_dc, -2047), 2047)
+        s, bits = _magnitude(diff)
+        prev_dc += diff
+        code, length = dc_tbl[s]
+        bw.write(code, length)
+        if s:
+            bw.write(bits, s)
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_tbl[0xF0]  # ZRL
+                bw.write(code, length)
+                run -= 16
+            s, bits = _magnitude(v)
+            code, length = ac_tbl[(run << 4) | s]
+            bw.write(code, length)
+            bw.write(bits, s)
+            run = 0
+        if last < 63:
+            code, length = ac_tbl[0x00]  # EOB
+            bw.write(code, length)
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 class _ProgEnc:
     """Shared state for one progressive AC scan: EOB-run accumulation plus
     the pending correction bits that must flush WITH the EOBn symbol."""
@@ -923,15 +998,17 @@ def _decode_progressive_scan(
                             k += 1
 
 
-def decode_baseline_jpeg(data: bytes) -> np.ndarray:
-    """Decode JFIF (any valid tables; 3 components) to an (h, w, 3) uint8
-    RGB array — baseline sequential (SOF0) AND progressive (SOF2, spectral
-    selection + successive approximation, interleaved DC and
-    single-component AC scans, EOB runs) plus sequential restart
-    intervals (DRI/RSTn with DC-predictor resets). Raises
-    NotImplementedError for sampling factors above 2, restarts inside
-    progressive scans, arithmetic coding, hierarchical/lossless frames,
-    12-bit precision, and non-3-component streams."""
+def _decode_jpeg_planes(data: bytes) -> list[np.ndarray]:
+    """Decode JFIF (any valid tables; 1 or 3 components) to per-component
+    full-resolution float64 planes (Y, or Y/Cb/Cr), level-shifted to
+    [~0, ~255] but NOT yet clipped or color-converted — baseline
+    sequential (SOF0) AND progressive (SOF2, spectral selection +
+    successive approximation, interleaved DC and single-component AC
+    scans, EOB runs) plus sequential restart intervals (DRI/RSTn with
+    DC-predictor resets). Raises NotImplementedError for sampling factors
+    above 2, restarts inside progressive scans, arithmetic coding,
+    hierarchical/lossless frames, 12-bit precision, and 2-/4-component
+    (e.g. CMYK) streams."""
     assert data[:2] == b"\xff\xd8", "not a JPEG (missing SOI)"
     pos = 2
     qts: dict[int, np.ndarray] = {}
@@ -978,8 +1055,11 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
-            if nc != 3:
-                raise NotImplementedError("only 3-component (YCbCr) streams")
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    "only 1-component (grayscale) and 3-component (YCbCr) "
+                    "streams"
+                )
             for i in range(nc):
                 cid, samp, qid = seg[6 + 3 * i : 9 + 3 * i]
                 ch_, cv_ = samp >> 4, samp & 0xF
@@ -1055,4 +1135,22 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
         if cv_ < vmax:
             plane = np.repeat(plane, vmax // cv_, axis=0)
         planes.append(plane[:h, :w])
+    return planes
+
+
+def decode_baseline_jpeg(data: bytes) -> np.ndarray:
+    """Decode JFIF to uint8 pixels: (h, w, 3) RGB for 3-component streams,
+    (h, w) grayscale for 1-component streams. See :func:`_decode_jpeg_planes`
+    for the supported feature surface."""
+    planes = _decode_jpeg_planes(data)
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+
+
+def decode_jpeg_luma(data: bytes) -> np.ndarray:
+    """The decoded Y plane as float64, BEFORE any chroma upsample leaks into
+    it via the RGB convert + clip — the right measurement surface for
+    luma-fidelity assertions (chroma quantization error contaminates
+    RGB-derived luma on noisy content). Works for gray and color streams."""
+    return _decode_jpeg_planes(data)[0]

@@ -121,6 +121,58 @@ def make_row(i: int, size: int = 24) -> dict:
     }
 
 
+def make_row_mixed(i: int, size: int = 24) -> dict:
+    """Like :func:`make_row` but cycling through the real-corpus format mix:
+    PNG, baseline color JPEG, GRAYSCALE (1-component) JPEG, and 4:2:0
+    color JPEG — the four layouts a 100 TB crawl actually contains.
+    Deliberately a separate generator so the main synth table (and every
+    bench cache keyed on it) stays byte-stable."""
+    px = pixels_for(i, size)
+    variant = i % 4
+    if variant == 0:
+        fmt, data = "png", imagecodec.encode_png(px)
+    elif variant == 1:
+        fmt, data = "jpeg", imagecodec.encode_jpeg(px)
+    elif variant == 2:
+        from . import jpegcodec
+
+        # luma plane per the encoder's own color transform (BT.601)
+        luma = np.clip(
+            np.round(px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])),
+            0, 255,
+        ).astype(np.uint8)
+        fmt, data = "jpeg", jpegcodec.encode_grayscale_jpeg(luma, 98)
+    else:
+        fmt, data = "jpeg", imagecodec.encode_jpeg(px, subsampling=(2, 2))
+    return {
+        "image_id": f"img_{i:08d}",
+        "bytes": data,
+        "w": size,
+        "h": size,
+        "fmt": fmt,
+        "caption": caption_for(i),
+        "phash": imagecodec.average_hash(px),
+    }
+
+
+def synth_spark_mixed(spark, n: int, size: int = 24):
+    """Distributed mixed-format table (see make_row_mixed)."""
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = pd.DataFrame([make_row_mixed(int(i), size) for i in pdf["id"]])
+            out["w"] = out["w"].astype("int32")
+            out["h"] = out["h"].astype("int32")
+            yield out[INPUT_COLUMNS]
+
+    rng_df = spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+    return rng_df.mapInPandas(gen, schema=schema)
+
+
 def synth_pandas(n: int, size: int = 24, start: int = 0) -> pd.DataFrame:
     df = pd.DataFrame([make_row(i, size) for i in range(start, start + n)])
     df["w"] = df["w"].astype("int32")

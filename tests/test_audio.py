@@ -51,7 +51,9 @@ def test_audio_stats_match_numpy_reference(spark):
         r = got[f"aud_{i:08d}"]
         assert r["sr"] == 16000 and r["n_samples"] == len(s)
         assert abs(r["rms"] - float(np.sqrt((x * x).mean()))) < 1e-9
-        assert abs(r["clip_frac"] - float((np.abs(s) >= 32100).mean())) < 1e-9
+        # widen before abs: np.abs(int16 -32768) overflows back to -32768
+        clip_ref = float((np.abs(s.astype(np.float64)) >= 32100).mean())
+        assert abs(r["clip_frac"] - clip_ref) < 1e-9
     # planted structure shows up in the stats
     assert got["aud_00000007"]["silence_frac"] > 0.3  # silent tail
     assert got["aud_00000011"]["clip_frac"] > 0.05  # saturated clip

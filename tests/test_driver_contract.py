@@ -22,6 +22,7 @@ def test_queries_and_oracles_consistent():
         "pipeline_score_documents",
         "pipeline_predict_documents",
         "multimodal_decode_stats",
+        "multimodal_decode_stats_mixed",
         "multimodal_features",
         "multimodal_audio_stats",
         "multimodal_resize",

@@ -227,3 +227,99 @@ def test_per_component_sequential_scans_decode_identically():
             assert data.count(b"\xff\xda") == 3
             got = jpegcodec.decode_baseline_jpeg(data)
             assert np.array_equal(ref, got), (i, sub)
+
+
+def test_grayscale_roundtrip_holds_psnr_invariant():
+    """1-component streams (the most common real-corpus variant after
+    4:2:0 color) must round-trip uniform noise at the 40 dB invariant,
+    with exact dimensions back — including non-multiple-of-8 shapes."""
+    worst = float("inf")
+    for i, size in ((0, 32), (1, 37), (2, 29), (3, 64)):
+        rng = np.random.default_rng(1000 + i)
+        px = rng.integers(0, 256, (size, size), dtype=np.uint8)
+        data = jpegcodec.encode_grayscale_jpeg(px, 98)
+        out = jpegcodec.decode_baseline_jpeg(data)
+        assert out.shape == (size, size) and out.dtype == np.uint8
+        mse = float(np.mean((px.astype(np.float64) - out) ** 2))
+        worst = min(worst, 10.0 * np.log10(255.0**2 / mse))
+    assert worst >= 40.0, f"worst grayscale PSNR {worst}"
+
+
+def test_grayscale_container_structure():
+    """The grayscale stream must be a real 1-component JFIF: Nf=1 in SOF0,
+    exactly one DQT and two DHTs (DC+AC lum), one Ns=1 SOS."""
+    px = np.random.default_rng(9).integers(0, 256, (24, 24), dtype=np.uint8)
+    data = jpegcodec.encode_grayscale_jpeg(px, 92)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    i = data.index(b"\xff\xc0")
+    ln, prec, h, w, nc = struct.unpack(">HBHHB", data[i + 2 : i + 10])
+    assert (ln, prec, h, w, nc) == (11, 8, 24, 24, 1)
+    assert data.count(b"\xff\xdb") == 1 and data.count(b"\xff\xc4") == 2
+    assert data.count(b"\xff\xda") == 1
+
+
+def test_grayscale_quality_monotone():
+    px = np.random.default_rng(11).integers(0, 256, (40, 40), dtype=np.uint8)
+    lo = jpegcodec.encode_grayscale_jpeg(px, 50)
+    hi = jpegcodec.encode_grayscale_jpeg(px, 98)
+    assert len(lo) < len(hi)
+    err = lambda d: float(
+        np.mean((px.astype(np.float64) - jpegcodec.decode_baseline_jpeg(d)) ** 2)
+    )
+    assert err(lo) > err(hi)
+
+
+def test_grayscale_matches_color_luma_path():
+    """Encoding the same plane as grayscale and as the Y channel of a
+    chroma-flat color image must produce IDENTICAL decoded luma — both
+    paths run the same DCT/quant/Huffman pipeline over the same samples."""
+    rng = np.random.default_rng(21)
+    y = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    gray_dec = jpegcodec.decode_jpeg_luma(jpegcodec.encode_grayscale_jpeg(y, 95))
+    # color image whose YCbCr transform yields exactly (y, 128, 128): R=G=B=y
+    px = np.repeat(y[..., None], 3, axis=-1)
+    color_dec = jpegcodec.decode_jpeg_luma(
+        jpegcodec.encode_baseline_jpeg(px, 95)
+    )
+    assert np.array_equal(gray_dec, color_dec)
+
+
+def test_two_component_stream_raises_honestly():
+    data = bytearray(jpegcodec.encode_baseline_jpeg(synth.pixels_for(2), 92))
+    i = bytes(data).index(b"\xff\xc0")
+    data[i + 9] = 2  # SOF payload: len(2) prec(1) h(2) w(2) -> nc byte
+    with pytest.raises(NotImplementedError, match="grayscale.*3-component"):
+        jpegcodec.decode_baseline_jpeg(bytes(data))
+
+
+def test_decode_stats_over_mixed_formats_incl_grayscale(spark):
+    """The mixed-format synth table (PNG / baseline / GRAYSCALE / 4:2:0)
+    must decode row-for-row: dimensions exact for every variant, and the
+    grayscale rows' mean tracking the source LUMA mean (not the RGB mean)."""
+    from pii_detection_service_spark.operators import multimodal
+    from pii_detection_service_spark.sources.synth import (
+        make_row_mixed,
+        synth_spark_mixed,
+    )
+
+    got = {
+        r["image_id"]: r
+        for r in multimodal.decode_stats(synth_spark_mixed(spark, 40)).collect()
+    }
+    assert len(got) == 40
+    for i in range(40):
+        r = got[f"img_{i:08d}"]
+        assert r["decode_ok"] and r["dec_w"] == 24 and r["dec_h"] == 24, i
+        px = synth.pixels_for(i)
+        if i % 4 == 2:  # grayscale rows carry the luma plane only
+            ref = float(
+                (px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])).mean()
+            )
+        else:
+            ref = float(px.mean())
+        assert abs(r["mean_px"] - ref) < 3.0, i
+    # and the feature/resize plumbing must be shape-stable over the mix
+    feats = multimodal.extract_features(synth_spark_mixed(spark, 12)).collect()
+    assert all(len(r["features"]) == 48 for r in feats)
+    small = multimodal.resize(synth_spark_mixed(spark, 8), 8).collect()
+    assert all(r["w"] == 8 and r["h"] == 8 and r["fmt"] == "png" for r in small)
