@@ -47,24 +47,37 @@ def quality_score(spark, sf_dir) -> DataFrame:
     n_chars = F.length(text)
     n_words = F.size(words)
     n_sym = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
-    counts = F.expr(
-        "transform(array_distinct(split(text, ' ')), "
-        "w -> size(filter(split(text, ' '), x -> x = w)))"
+    # Word counts via ONE linear run-length pass over the sorted word array
+    # (O(n log n)/row) instead of re-filtering the array per distinct word
+    # (O(distinct·n)/row — the interpreted-HOF cost class that made long
+    # documents a scale risk). Entropy terms accumulate as each run closes,
+    # i.e. in ascending word order — the oracle folds in the same order.
+    d = (
+        d.withColumn("ws_", F.array_sort(words))
+        .withColumn("nw_", F.size("ws_"))
+        .withColumn(
+            "rl_",
+            F.expr(
+                "aggregate(ws_, "
+                "named_struct('bc', 0, 's', cast(0.0 as double), 'cc', 0, 'cg', ''), "
+                "(acc, w) -> if(acc.cc > 0 and w = acc.cg, "
+                "  named_struct('bc', greatest(acc.bc, acc.cc + 1), 's', acc.s, "
+                "               'cc', acc.cc + 1, 'cg', w), "
+                "  named_struct('bc', greatest(acc.bc, 1), "
+                "               's', acc.s + if(acc.cc = 0, cast(0.0 as double), "
+                "                    (acc.cc / nw_) * ln(acc.cc / nw_)), "
+                "               'cc', 1, 'cg', w)), "
+                "acc -> named_struct('maxc', acc.bc, "
+                "  'ent', acc.s + (acc.cc / nw_) * ln(acc.cc / nw_)))"
+            ),
+        )
     )
     # ratios stay UNROUNDED: they are rational (int/int division, identical
     # IEEE doubles in every engine); SQL round() diverges cross-engine on
     # exact decimal halves (e.g. odd/128), so rounding would break parity
     sym_ratio = n_sym / n_chars
-    top_ratio = F.array_max(counts) / n_words
-    entropy = F.round(
-        -F.expr(
-            "aggregate(transform(array_distinct(split(text, ' ')), "
-            "w -> size(filter(split(text, ' '), x -> x = w))), "
-            "cast(0.0 as double), "
-            "(acc, c) -> acc + (c / size(split(text, ' '))) * ln(c / size(split(text, ' '))))"
-        ),
-        6,
-    )
+    top_ratio = F.col("rl_.maxc") / n_words
+    entropy = F.round(-F.col("rl_.ent"), 6)
     keep = (
         (n_chars >= 10)
         & (n_chars <= 2048)
@@ -269,24 +282,30 @@ GOPHER_TOP3_MAX = 0.18
 def _top_ngram_frac(col: str) -> "F.Column":
     """chars(most frequent n-gram) · count / chars(text) over a
     pre-computed n-gram array column — 100% JVM-side higher-order
-    functions (same O(distinct²) per-row counting shape as
-    quality_score's word counts; rows are independent → map-only at any
-    scale). Ties break to the lexicographically smallest n-gram so the
-    fraction is deterministic and oracle-portable. Overlapping
+    functions; rows are independent → map-only at any scale. Counting is
+    ONE linear run-length pass over the SORTED gram array (O(n log n) per
+    row; equal grams are adjacent after the sort), replacing the
+    O(distinct·n) re-filter-per-distinct-gram shape that made long
+    documents (Gopher's actual target) a scale risk. Ties break to the
+    lexicographically smallest n-gram — the ascending scan with a
+    strict-> best update yields exactly that argmax. Overlapping
     occurrences can double-count characters (e.g. 'spam spam spam'), so
     the fraction clips at 1.0 — matching the public RedPajama
     implementation of the Gopher rules."""
     expr = f"""
     case when size({col}) < 1 then cast(0.0 as double) else
-      aggregate(array_distinct({col}),
-                named_struct('c', 0, 'g', ''),
-                (acc, g) -> if(size(filter({col}, x -> x = g)) > acc.c
-                               or (size(filter({col}, x -> x = g)) = acc.c
-                                   and g < acc.g),
-                            named_struct('c', size(filter({col}, x -> x = g)),
-                                         'g', g),
-                            acc),
-                acc -> least(cast(acc.c * length(acc.g) as double) / length(text),
+      aggregate(array_sort({col}),
+                named_struct('bc', 0, 'bg', '', 'cc', 0, 'cg', ''),
+                (acc, g) -> if(acc.cc > 0 and g = acc.cg,
+                            named_struct(
+                              'bc', if(acc.cc + 1 > acc.bc, acc.cc + 1, acc.bc),
+                              'bg', if(acc.cc + 1 > acc.bc, g, acc.bg),
+                              'cc', acc.cc + 1, 'cg', g),
+                            named_struct(
+                              'bc', if(acc.bc < 1, 1, acc.bc),
+                              'bg', if(acc.bc < 1, g, acc.bg),
+                              'cc', 1, 'cg', g)),
+                acc -> least(cast(acc.bc * length(acc.bg) as double) / length(text),
                              cast(1.0 as double)))
     end
     """

@@ -193,7 +193,7 @@ WITH base AS (
   SELECT doc_id, n_chars, words,
          len(words)::INTEGER AS n_words,
          (n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) AS n_sym,
-         list_transform(list_distinct(words),
+         list_transform(list_sort(list_distinct(words)),
                         w -> len(list_filter(words, x -> x = w))) AS counts
   FROM base
 )
