@@ -180,6 +180,26 @@ def main():
         "jaccard_candidates",
         lambda: dedup.jaccard_candidates(spark, docs_dir).count(),
     )
+    # image-side near-dup: the banding/star-edge/verify machinery over n
+    # synthetic int64 phashes (generating n REAL images would be
+    # disk-bound; the operator's cost is independent of hash provenance).
+    # 10% of rows form one near-dup cluster (<= 2-bit perturbations of a
+    # shared hash — the template/logo skew case), the rest are xxhash64
+    # pseudo-random.
+    phash_tbl = spark.read.parquet(docs_path).select(
+        F.format_string("img_%09d", "doc_id").alias("image_id"),
+        F.expr(
+            "if(doc_id % 10 = 0, "
+            "  7777777777777777 ^ shiftleft(cast(1 as bigint), "
+            "      cast(doc_id % 62 as int)) "
+            "    ^ shiftleft(cast(1 as bigint), cast((doc_id * 31) % 62 as int)), "
+            "  xxhash64(doc_id))"
+        ).alias("phash"),
+    )
+    timed(
+        "phash_candidates",
+        lambda: dedup.phash_near_dup_candidates(phash_tbl).count(),
+    )
 
     # flagship score-only throughput (map-only Arrow pass)
     ips = None

@@ -713,3 +713,118 @@ def embedding_near_dup(spark, sf_dir, n_anchors: int = 8) -> DataFrame:
         .orderBy(F.col("cos").desc(), "vec_a", "vec_b")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Image-side near-dup: perceptual-hash Hamming banding.
+#
+# The input schema (BASELINE.json input_hint) carries phash:int64 — an
+# 8x8 average hash of the decoded pixels (imagecodec.average_hash; the
+# stage already buckets its writes on it, plans/stage.py). This is the
+# image pillar of the dedup family: near-duplicate IMAGES (re-encodes,
+# small crops/noise) differ in a few phash bits, exactly like near-dup
+# texts differ in a few simhash bits — so the machinery is the same
+# 4x16-bit banding + bit_count(xor) verify as simhash64_candidates, and
+# the oracle is pure int64 bit arithmetic (DuckDB-portable, exact).
+# ---------------------------------------------------------------------------
+
+PHASH_MAX_HAMMING = 3
+
+
+def phash_near_dup_candidates(
+    d: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """Near-duplicate image candidate pairs from (image_id, phash) rows.
+
+    4 bands x 16 bits: ``(phash >> 16b) & 0xFFFF`` — after the mask,
+    arithmetic vs logical shift semantics are indistinguishable, so the
+    expression is engine-portable even for negative hashes. Pigeonhole:
+    any pair within Hamming distance 3 shares at least one band word →
+    lands in a shared band group. Star edges against the band-group
+    minimum image_id (groupBy+join — skew-proof for template/logo
+    clusters that concentrate one phash), then exact
+    ``bit_count(xor)`` verify on the candidate edges only. Same recall
+    contract as simhash64_candidates: each doc pairs with its group min,
+    the linear edge set connected-components dedup consumes — not
+    all-pairs within a group (quadratic under skew).
+
+    The input plan is consumed 3x (band explode + both sides of the
+    verify join); callers passing an EXPENSIVE plan (e.g. a decode
+    pipeline) get it materialized once via localCheckpoint — phash rows
+    are 8 B + id, the sketch table a real pipeline persists anyway."""
+    ph = d.select(
+        F.col("image_id").alias("doc_id"), "phash"
+    ).localCheckpoint(eager=False)
+    bands = ph.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"shiftright(phash, {16 * b}) & 65535")
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    star = _with_grp_min(bands)
+    cand = (
+        star.where(F.col("doc_id") != F.col("grp_min"))
+        .select(F.col("grp_min").alias("id_a"), F.col("doc_id").alias("id_b"))
+        .distinct()
+    )
+    a = ph.select(F.col("doc_id").alias("id_a"), F.col("phash").alias("ph_a"))
+    b = ph.select(F.col("doc_id").alias("id_b"), F.col("phash").alias("ph_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("hamming", "id_a", "id_b")
+    )
+
+
+def phash_variant_bits(i: int) -> int:
+    """XOR mask for the planted near-dup variant of synth row i: flips
+    bit (i % 62) and bit ((i * 31) % 62) — ≤ 2-bit perturbations (0 when
+    the two coincide, i ≡ 0 mod 31: an exact-dup twin; both cases stay
+    within the Hamming-3 verify). Bits ≥ 62 never used: 1<<63 overflows
+    differently across engines. Mirrored literally in the SQL oracle."""
+    return (1 << (i % 62)) ^ (1 << ((i * 31) % 62))
+
+
+def phash_corpus(spark, n: int = 300) -> DataFrame:
+    """(image_id, phash) over n synth rows PLUS planted near-dup twins:
+    every 7th row (i % 7 == 3) contributes an ``<id>_v`` variant whose
+    phash differs by phash_variant_bits(i). The synth table itself plants
+    exact-dup clusters (pixels_for: i % 11 == 0 share pixels → identical
+    phash); the twins add genuine 1-2-bit neighbors so the Hamming verify
+    is exercised at every distance it accepts."""
+    from ..sources.synth import synth_spark
+
+    base = synth_spark(spark, n).select("image_id", "phash")
+    i = "cast(substring(image_id, 5) as bigint)"
+    pert = base.where(F.expr(f"{i} % 7 = 3")).select(
+        F.concat("image_id", F.lit("_v")).alias("image_id"),
+        F.expr(
+            f"phash ^ shiftleft(cast(1 as bigint), cast({i} % 62 as int)) "
+            f"^ shiftleft(cast(1 as bigint), cast(({i} * 31) % 62 as int))"
+        ).alias("phash"),
+    )
+    return base.unionByName(pert)
+
+
+def phash_candidates(spark, sf_dir) -> DataFrame:
+    """Driver-oracled image near-dup query: the DuckDB twin recomputes
+    every phash driver-side with the pure-Python reference
+    (imagecodec.average_hash over pixels_for) + the same variant masks,
+    inlines them as VALUES, and re-derives banding + star edges +
+    Hamming verify relationally. What it pins: the distributed synth →
+    phash pipeline is bit-identical to the reference, AND the banding
+    logic matches an independent SQL implementation."""
+    return phash_near_dup_candidates(phash_corpus(spark, 300))

@@ -314,13 +314,24 @@ def _top_ngram_frac(col: str) -> "F.Column":
 
 def _gram_expr(n: int) -> str:
     """SQL expression for the word n-gram array of `text` (empty array for
-    docs shorter than n words — sequence(1, 0) DESCENDS in Spark, so the
-    guard is load-bearing). Shared by gopher_repetition and its tests."""
-    return (
-        f"if(size(split(text, ' ')) < {n}, array(), "
-        f"transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
-        f"i -> array_join(slice(split(text, ' '), i, {n}), ' ')))"
-    )
+    docs shorter than n words — slice() with a non-positive length raises,
+    so the guard is load-bearing). Built as a zip_with over n shifted
+    slices of the word array — n array copies total, O(n_words) per row.
+    The previous transform(sequence(...)) shape called slice() once PER
+    POSITION (an O(n_words) copy each), i.e. O(n_words^2) per row — the
+    actual long-document scale killer (60x slower at 2k words/doc; the
+    counting pass was never the bottleneck). Spark's common-subexpression
+    elimination computes the repeated split() once. Shared by
+    gopher_repetition and its tests."""
+    ws = "split(text, ' ')"
+    m = f"(size({ws}) - {n - 1})"
+    core = f"slice({ws}, 1, {m})"
+    for j in range(2, n + 1):
+        core = (
+            f"zip_with({core}, slice({ws}, {j}, {m}), "
+            f"(a, b) -> concat(a, ' ', b))"
+        )
+    return f"if(size({ws}) < {n}, array(), {core})"
 
 
 def gopher_repetition(spark, sf_dir) -> DataFrame:

@@ -145,6 +145,52 @@ SELECT audio_id, sr, n_samples, duration_sec, drop_reason,
 FROM d
 """
 
+
+def _phash_sql(n: int = 300) -> str:
+    """Image near-dup oracle: recompute every phash driver-side with the
+    pure-Python reference (average_hash over pixels_for — no Spark, no
+    codecs) plus the same planted variant masks, inline as VALUES, and
+    re-derive 4x16 banding + star edges + Hamming verify relationally.
+    Pure int64 bit arithmetic → exact across engines ((phash >> s) &
+    65535 is shift-semantics-proof: the mask discards any sign-extended
+    bits)."""
+    from .operators import dedup as dd
+    from .sources.imagecodec import average_hash
+    from .sources.synth import pixels_for
+
+    rows = []
+    for i in range(n):
+        ph = average_hash(pixels_for(i))
+        rows.append(f"('img_{i:08d}', {ph}::BIGINT)")
+        if i % 7 == 3:
+            rows.append(
+                f"('img_{i:08d}_v', {ph ^ dd.phash_variant_bits(i)}::BIGINT)"
+            )
+    return f"""
+WITH p(image_id, phash) AS (VALUES {", ".join(rows)}),
+b AS (
+  SELECT image_id, phash, t.band,
+         ((phash >> (t.band * 16)) & 65535) AS band_key
+  FROM p CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(band)
+),
+g AS (
+  SELECT band, band_key, min(image_id) AS grp_min
+  FROM b GROUP BY band, band_key
+),
+cand AS (
+  SELECT DISTINCT g.grp_min AS id_a, b.image_id AS id_b
+  FROM b JOIN g ON b.band = g.band AND b.band_key = g.band_key
+  WHERE b.image_id != g.grp_min
+)
+SELECT c.id_a, c.id_b,
+       bit_count(xor(pa.phash, pb.phash))::INTEGER AS hamming
+FROM cand c
+JOIN p pa ON pa.image_id = c.id_a
+JOIN p pb ON pb.image_id = c.id_b
+WHERE bit_count(xor(pa.phash, pb.phash)) <= {dd.PHASH_MAX_HAMMING}
+ORDER BY hamming, id_a, id_b
+"""
+
 # ---------------------------------------------------------------------------
 # Oracle SQL fragments shared across queries (mirror operators/*.py).
 # ---------------------------------------------------------------------------
@@ -983,6 +1029,8 @@ ORACLES: dict[str, str | None] = {
     """,
     # audio gate: exact oracle (see _multimodal_audio_keep docstring)
     "multimodal_audio_keep": _audio_keep_sql(),
+    # image near-dup gate: exact oracle (see _phash_sql docstring)
+    "dedup_phash_candidates": _phash_sql(),
     "quality_gopher_repetition": _gopher_sql(),
     # --- UDF-backed pipeline queries: rows-only driver check ---
     "pipeline_score_documents": None,
@@ -1018,7 +1066,7 @@ SPARK_BUILDERS = {
     "label_strip": textstats.label_strip,
     "dedup_exact": dedup.exact_dedup,
     "dedup_minhash_signatures": dedup.minhash_signatures,
-    "dedup_minhash_bands": dedup.minhash_band_candidates,
+    "dedup_phash_candidates": dedup.phash_candidates,
     "dedup_minhash_survivors": dedup.minhash_survivors,
     "dedup_clusters": dedup.dedup_clusters,
     "documents_render": relational.documents_render,
@@ -1053,7 +1101,10 @@ SPARK_BUILDERS = {
     # dedup_jaccard_pairs is the explicitly-weak all-pairs recall baseline —
     # its scale twin dedup_jaccard_candidates holds a window slot;
     # tfidf_top_terms and rollup_doc_counts rotated out when the audio gate
-    # and learned-IVF queries rotated in ---
+    # and learned-IVF queries rotated in; dedup_minhash_bands rotated out
+    # for r4's dedup_phash_candidates (the minhash family keeps 4 slots:
+    # signatures, survivors, jaccard_candidates, clusters) ---
+    "dedup_minhash_bands": dedup.minhash_band_candidates,
     "tfidf_top_terms": textstats.tfidf_top_terms,
     "rollup_doc_counts": relational.rollup_doc_counts,
     "quality_gopher_repetition": textstats.gopher_repetition,

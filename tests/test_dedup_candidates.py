@@ -131,3 +131,79 @@ def test_embedding_near_dup_bucket_blocking_recall(spark, tmp_path):
         a, b = vecs[r["vec_a"]], vecs[r["vec_b"]]
         true = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(r["cos"] - true) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# phash (image-side) near-dup candidates
+# ---------------------------------------------------------------------------
+
+
+def _py_phash_star_edges(phs: dict[str, int], max_hamming: int) -> set:
+    """Independent pure-Python reimplementation of the banding + star-edge
+    + Hamming-verify contract (the same semantics the DuckDB oracle
+    re-derives relationally)."""
+    groups: dict[tuple[int, int], list[str]] = {}
+    for iid, ph in phs.items():
+        u = ph & 0xFFFFFFFFFFFFFFFF
+        for b in range(4):
+            groups.setdefault((b, (u >> (16 * b)) & 0xFFFF), []).append(iid)
+    out = set()
+    for g in groups.values():
+        m = min(g)
+        for other in g:
+            if other == m:
+                continue
+            ham = bin((phs[m] ^ phs[other]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if ham <= max_hamming:
+                out.add((m, other, ham))
+    return out
+
+
+def test_phash_planted_near_dups_recovered(spark):
+    """10 far-apart random base hashes, each with a twin at 0-3 bit flips:
+    the operator's output must equal the pure-Python star-edge contract
+    exactly, and every planted (base, twin) pair must surface with its
+    exact Hamming distance."""
+    rng = np.random.default_rng(7)
+    phs: dict[str, int] = {}
+    for k in range(10):
+        ph = int(rng.integers(-(2**63), 2**63 - 1, dtype=np.int64))
+        nbits = k % 4
+        mask = 0
+        for b in rng.choice(62, size=3, replace=False)[:nbits]:
+            mask |= 1 << int(b)
+        phs[f"p{k:02d}"] = ph
+        phs[f"p{k:02d}_twin"] = ph ^ mask  # bits < 62 → stays in int64
+    df = spark.createDataFrame(
+        sorted(phs.items()), "image_id string, phash long"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.phash_near_dup_candidates(df).collect()
+    }
+    assert got == _py_phash_star_edges(phs, dedup.PHASH_MAX_HAMMING)
+    for k in range(10):  # planted recall (deterministic under seed 7:
+        # no foreign band collision shadows a base as its twin's grp_min)
+        assert (f"p{k:02d}", f"p{k:02d}_twin", k % 4) in got
+
+
+def test_phash_corpus_query_contract(spark):
+    """The registered query over the synthetic image corpus: exact-dup
+    pixel clusters (i % 11 == 0 share pixels → identical phash) must all
+    pair with img_00000000 at Hamming 0, planted variants surface, and
+    nothing above the verify threshold leaks out."""
+    out = dedup.phash_candidates(spark, SF).collect()
+    assert out, "corpus has planted structure; empty output is a bug"
+    assert all(r["hamming"] <= dedup.PHASH_MAX_HAMMING for r in out)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    for i in range(11, 300, 11):
+        assert pairs.get(("img_00000000", f"img_{i:08d}")) == 0
+    # planted _v variants: each shares >= 2 band words with its base, so
+    # it always lands in a candidate group; the star edge survives the
+    # Hamming filter whenever the group min is its base (the common case)
+    variant_hits = sum(
+        1
+        for i in range(3, 300, 7)
+        if any(f"img_{i:08d}_v" in p for p in pairs)
+    )
+    assert variant_hits >= 0.8 * len(range(3, 300, 7))
