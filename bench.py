@@ -67,6 +67,10 @@ def main():
         "ann_search_ivf_learned",
         "multimodal_audio_keep",
         "quality_gopher_repetition",
+        # round-4 additions: image-side phash near-dup and the scoring
+        # kernel behind the full ARPA artifact seam
+        "dedup_phash_candidates",
+        "pipeline_scores_arpa_quantized",
     ]
 
     # Warm the Python worker pool (each worker cold-imports pandas/numpy

@@ -128,18 +128,25 @@ def perplexity(text: str) -> float:
     return float(math.exp(-_LM_TBL[ids].sum() / len(ids)))
 
 
-def lang_and_ppl(text: str) -> tuple[str, float]:
+def lang_and_ppl(text: str, lm_tbl: np.ndarray | None = None) -> tuple[str, float]:
     """Fused langid + perplexity sharing ONE text lowering and ONE bigram
     encode (the two kernels account for most of the non-tagger scoring
-    cost). Bit-identical to (langid_char_ngram(text), perplexity(text)):
-    the sentinel-wrapped id array's interior slice IS the plain-text id
-    array, since bigram ids only depend on adjacent codepoint pairs.
-    Equality is property-tested in tests/test_properties.py."""
+    cost). With the default table, bit-identical to
+    (langid_char_ngram(text), perplexity(text)): the sentinel-wrapped id
+    array's interior slice IS the plain-text id array, since bigram ids
+    only depend on adjacent codepoint pairs. Equality is property-tested
+    in tests/test_properties.py.
+
+    ``lm_tbl`` swaps the perplexity model for a loaded ARPA table
+    (load_arpa_char_bigram → broadcast seam) without touching the langid
+    profiles — the production path where the LM is a real KenLM artifact
+    while langid stays the built-in profile set."""
+    tbl = _LM_TBL if lm_tbl is None else lm_tbl
     t = text.lower()
     if not t:
         return "und", 1e9
     ids_full = _bigram_ids("^" + t + "$")
-    ppl = float(math.exp(-_LM_TBL[ids_full].sum() / len(ids_full)))
+    ppl = float(math.exp(-tbl[ids_full].sum() / len(ids_full)))
     if len(t) < 2 or not any(c.isalpha() for c in t):
         return "und", ppl
     sums = _LANG_TBL[ids_full[1:-1]].sum(axis=0)
@@ -257,6 +264,59 @@ def export_builtin_lm_arpa(path: str) -> None:
         for bg, lp in sorted(_LM.items()):
             f.write(f"{lp / _LN10!r}\t{tok(ord(bg[0]))} {tok(ord(bg[1]))}\n")
         f.write("\n\\end\\\n")
+
+
+def export_synth_arpa(path: str, n_extra_symbols: int = 160) -> int:
+    """Write a LARGE deterministic char-bigram ARPA model (≥10⁴ bigram
+    entries) for end-to-end artifact-scale tests and benches: the
+    broadcast/scoring seam must be proven with a realistically-sized
+    model, not just the ~1k-entry builtin round-trip.
+
+    Symbols: the builtin LM's alphabet plus the first ``n_extra_symbols``
+    printable latin-1 codepoints — every unigram gets a deterministic
+    logprob and backoff weight, and each ordered pair (a, b) gets a
+    listed bigram unless ``(a * 131 + b) % 5 == 0`` (so ~20% of pairs
+    exercise the backoff path at scoring time). Logprobs come from a
+    fixed integer mix — no RNG, so the artifact is byte-stable across
+    runs. Returns the number of bigram entries written."""
+    base = sorted({ord(bg[0]) for bg in _LM} | {ord(bg[1]) for bg in _LM})
+    extra = [
+        c
+        for c in range(33, 256)
+        if chr(c).isprintable() and not chr(c).isspace() and c not in base
+    ][:n_extra_symbols]
+    symbols = sorted(set(base) | set(extra))
+
+    def tok(c: int) -> str:
+        ch = chr(c)
+        return {"^": _S_TOK, "$": _E_TOK, " ": _SP_TOK}.get(ch, ch)
+
+    def uni_lp(a: int) -> float:  # log10 in [-4.0, -1.0), deterministic
+        return -1.0 - 3.0 * ((a * 2654435761) % 1000) / 1000.0
+
+    def bow_w(a: int) -> float:  # log10 backoff in [-1.0, 0.0)
+        return -((a * 40503) % 997) / 997.0
+
+    def bi_lp(a: int, b: int) -> float:  # log10 in [-3.5, -0.5)
+        return -0.5 - 3.0 * (((a * 131 + b) * 2246822519) % 1000) / 1000.0
+
+    pairs = [
+        (a, b)
+        for a in symbols
+        for b in symbols
+        if (a * 131 + b) % 5 != 0
+    ]
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\\data\\\n")
+        f.write(f"ngram 1={len(symbols)}\nngram 2={len(pairs)}\n\n")
+        f.write("\\1-grams:\n")
+        for c in symbols:
+            f.write(f"{uni_lp(c)!r}\t{tok(c)}\t{bow_w(c)!r}\n")
+        f.write("\n\\2-grams:\n")
+        for a, b in pairs:
+            f.write(f"{bi_lp(a, b)!r}\t{tok(a)} {tok(b)}\n")
+        f.write("\n\\end\\\n")
+    return len(pairs)
 
 
 def perplexity_table(text: str, tbl: np.ndarray) -> float:

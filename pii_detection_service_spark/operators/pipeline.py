@@ -34,8 +34,10 @@ def _parse_byte_string(raw: str, default: int = 134217728) -> int:
     return int(m.group(1)) * _BYTE_UNITS[m.group(2)] if m else default
 
 
-def score_documents(spark, sf_dir) -> DataFrame:
-    """The flagship stage's scoring pass with documents.text as captions."""
+def score_documents(spark, sf_dir, lm_bc=None) -> DataFrame:
+    """The flagship stage's scoring pass with documents.text as captions.
+    ``lm_bc`` optionally swaps the perplexity model for a broadcast ARPA
+    table (the production-artifact seam)."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").alias("caption")
     )
@@ -55,7 +57,7 @@ def score_documents(spark, sf_dir) -> DataFrame:
     if scan_bytes < par * max_split:
         d = d.repartition(par)
     scored = d.mapInPandas(
-        udfs.make_score_iter(["doc_id", "caption"]),
+        udfs.make_score_iter(["doc_id", "caption"], lm_bc=lm_bc),
         schema=f"doc_id long, caption string, {udfs.SCORE_DDL}",
     )
     return scored.select(
@@ -82,6 +84,38 @@ def scores_oracle(spark, sf_dir) -> DataFrame:
     differ across a 5e-5 decimal boundary — checked empirically at both
     SFs). Runs through score_documents, i.e. the real Arrow kernel path."""
     return score_documents(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.col("ppl").alias("ppl_q"),
+        "keep",
+        "drop_reason",
+    )
+
+
+def scores_oracle_arpa(spark, sf_dir) -> DataFrame:
+    """The quantized-score projection with the perplexity model flowing
+    through the FULL production artifact seam: builtin LM → ARPA text file
+    (KenLM interchange format) → load_arpa_char_bigram → broadcast →
+    Arrow-batched scoring. Shares pipeline_scores_quantized's exact DuckDB
+    oracle: the ARPA round-trip reproduces the builtin table to ≤1e-12 in
+    the log domain (shortest-repr log10 text), and the 4-decimal ppl
+    quantization absorbs that ulp noise exactly as it absorbs the
+    numpy-pairwise vs SQL-sequential summation difference (boundary
+    straddle re-checked empirically at both SFs with the loaded table).
+    What this pins beyond pipeline_scores_quantized: the export → parse →
+    backoff-expansion → broadcast → per-task resolution path is
+    value-preserving end-to-end under the driver's hash compare."""
+    import os
+    import tempfile
+
+    from ..functions import quality
+    from ..sources import artifacts
+
+    path = os.path.join(tempfile.gettempdir(), "pii_spark_builtin_lm.arpa")
+    if not os.path.exists(path):
+        quality.export_builtin_lm_arpa(path)
+    bc = artifacts.broadcast_arpa_lm(spark, path)
+    return score_documents(spark, sf_dir, lm_bc=bc).select(
         "doc_id",
         "lang",
         F.col("ppl").alias("ppl_q"),

@@ -45,7 +45,7 @@ DEFAULT_BUCKETS = 64
 SALT_FACTOR = 8
 
 
-def score(df: DataFrame) -> DataFrame:
+def score(df: DataFrame, lm_bc=None) -> DataFrame:
     """Map-only fused scoring pass (langid/ppl/keep/tag/scrub).
 
     Scalar pandas_udf, NOT mapInPandas: only the caption column is
@@ -53,8 +53,11 @@ def score(df: DataFrame) -> DataFrame:
     passthrough columns never leave the JVM. At 10^12 rows the bytes
     column is ~10-20x the caption volume, so this is the difference
     between shipping captions and shipping the whole table through
-    Python."""
-    scored = df.withColumn("_scored", udfs.make_score_struct_udf()(F.col("caption")))
+    Python. ``lm_bc`` (artifacts.broadcast_arpa_lm) swaps the perplexity
+    model for a production ARPA artifact."""
+    scored = df.withColumn(
+        "_scored", udfs.make_score_struct_udf(lm_bc)(F.col("caption"))
+    )
     return scored.select(*df.columns, "_scored.*")
 
 

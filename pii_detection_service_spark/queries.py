@@ -1035,6 +1035,9 @@ ORACLES: dict[str, str | None] = {
     # --- UDF-backed pipeline queries: rows-only driver check ---
     "pipeline_score_documents": None,
     "pipeline_scores_quantized": _kernel_scores_sql(),
+    # same exact oracle: the ARPA round-trip is value-preserving under the
+    # 4-decimal ppl quantization (see pipeline.scores_oracle_arpa)
+    "pipeline_scores_arpa_quantized": _kernel_scores_sql(),
     "pipeline_predict_documents": None,
     # --- multimodal (binary image columns): no SQL decoder → rows-only ---
     "multimodal_decode_stats": None,
@@ -1095,7 +1098,7 @@ SPARK_BUILDERS = {
     "events_sessionize": events.sessionize,
     "events_value_quantiles": events.value_quantiles,
     "multimodal_audio_keep": _multimodal_audio_keep,
-    "pipeline_scores_quantized": pipeline.scores_oracle,
+    "pipeline_scores_arpa_quantized": pipeline.scores_oracle_arpa,
     # --- oracled but OUTSIDE the driver's 50-slot window (slots 51+; the
     # local gate tools/check_oracle.py still verifies them exactly).
     # dedup_jaccard_pairs is the explicitly-weak all-pairs recall baseline —
@@ -1103,7 +1106,12 @@ SPARK_BUILDERS = {
     # tfidf_top_terms and rollup_doc_counts rotated out when the audio gate
     # and learned-IVF queries rotated in; dedup_minhash_bands rotated out
     # for r4's dedup_phash_candidates (the minhash family keeps 4 slots:
-    # signatures, survivors, jaccard_candidates, clusters) ---
+    # signatures, survivors, jaccard_candidates, clusters);
+    # pipeline_scores_quantized rotated out for r4's
+    # pipeline_scores_arpa_quantized, which runs the SAME kernel path plus
+    # the ARPA export→load→broadcast artifact seam against the same exact
+    # oracle ---
+    "pipeline_scores_quantized": pipeline.scores_oracle,
     "dedup_minhash_bands": dedup.minhash_band_candidates,
     "tfidf_top_terms": textstats.tfidf_top_terms,
     "rollup_doc_counts": relational.rollup_doc_counts,

@@ -32,12 +32,16 @@ SCORE_DDL = (
 )
 
 
-def score_batch(captions: pd.Series) -> pd.DataFrame:
+def score_batch(captions: pd.Series, lm_tbl=None) -> pd.DataFrame:
     """One fused scoring pass over a caption batch: langid + perplexity +
     keep/drop heuristics + BIO PII tagging + scrub (SURVEY.md §2.9 UDF
-    batch 1+2 fused — one Arrow hop instead of two)."""
+    batch 1+2 fused — one Arrow hop instead of two). ``lm_tbl`` swaps the
+    perplexity model for a loaded ARPA table (artifacts.broadcast_arpa_lm
+    seam); None scores against the builtin."""
     caps = captions.fillna("")
-    lp = caps.map(quality.lang_and_ppl)  # fused: one lower + one bigram encode
+    lp = caps.map(  # fused: one lower + one bigram encode
+        lambda t: quality.lang_and_ppl(t, lm_tbl)
+    )
     langs = pd.Series([x[0] for x in lp], index=caps.index)
     ppls = pd.Series([x[1] for x in lp], index=caps.index)
     kd = [
@@ -61,8 +65,12 @@ def score_batch(captions: pd.Series) -> pd.DataFrame:
     )
 
 
-def make_score_iter(passthrough_cols: list[str], caption_col: str = "caption"):
-    """mapInPandas function: passthrough + scored columns.
+def make_score_iter(
+    passthrough_cols: list[str], caption_col: str = "caption", lm_bc=None
+):
+    """mapInPandas function: passthrough + scored columns. ``lm_bc`` is an
+    optional Broadcast of a loaded ARPA LM table (resolved to its value
+    once per batch iterator, i.e. once per task, not per row).
 
     NOTE: this ships EVERY column (including image bytes) through Arrow to
     Python. Prefer ``score_struct_udf`` (plans/stage.py uses it): a scalar
@@ -73,22 +81,25 @@ def make_score_iter(passthrough_cols: list[str], caption_col: str = "caption"):
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tbl = lm_bc.value if lm_bc is not None else None
         for pdf in batches:
-            scored = score_batch(pdf[caption_col])
+            scored = score_batch(pdf[caption_col], tbl)
             yield pd.concat([pdf[passthrough_cols], scored], axis=1)
 
     return fn
 
 
-def make_score_struct_udf():
+def make_score_struct_udf(lm_bc=None):
     """Scalar pandas_udf: caption in → struct of scored columns out. Only
     the caption column crosses the Arrow boundary; bytes/phash/etc. stay
-    JVM-side. Same kernel (score_batch), bit-identical outputs."""
+    JVM-side. Same kernel (score_batch), bit-identical outputs; ``lm_bc``
+    optionally swaps the perplexity model for a broadcast ARPA table."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(f"struct<{SCORE_DDL}>")
     def score_struct(captions: pd.Series) -> pd.DataFrame:
-        return score_batch(captions)
+        tbl = lm_bc.value if lm_bc is not None else None
+        return score_batch(captions, tbl)
 
     return score_struct
 

@@ -97,6 +97,94 @@ def test_broadcast_scoring_matches_driver(spark, tmp_path):
         assert got[i] == pytest.approx(quality.perplexity(t), rel=1e-9)
 
 
+def test_synth_arpa_is_large_and_loads_with_backoff(tmp_path):
+    """The bench-scale artifact: ≥10⁴ bigram entries, deterministic bytes,
+    and real backoff semantics on the ~20% of pairs left unlisted."""
+    ln10 = math.log(10.0)
+    p = str(tmp_path / "big.arpa")
+    n = quality.export_synth_arpa(p)
+    assert n >= 10_000
+    # byte-stable across invocations (no RNG anywhere)
+    p2 = str(tmp_path / "big2.arpa")
+    quality.export_synth_arpa(p2)
+    assert open(p, "rb").read() == open(p2, "rb").read()
+    tbl = quality.load_arpa_char_bigram(p).reshape(quality._NC, quality._NC)
+    # listed pair scores its entry; the (a*131+b)%5==0 holes score backoff
+    pairs = [
+        (x, y)
+        for x in range(ord("a"), ord("z"))
+        for y in range(ord("a"), ord("z"))
+    ]
+    hole = next(p for p in pairs if (p[0] * 131 + p[1]) % 5 == 0)
+    a, b = next(p for p in pairs if (p[0] * 131 + p[1]) % 5 != 0)
+    uni = lambda c: (-1.0 - 3.0 * ((c * 2654435761) % 1000) / 1000.0) * ln10  # noqa: E731
+    bow = lambda c: (-((c * 40503) % 997) / 997.0) * ln10  # noqa: E731
+    bi = lambda x, y: (  # noqa: E731
+        -0.5 - 3.0 * (((x * 131 + y) * 2246822519) % 1000) / 1000.0
+    ) * ln10
+    assert tbl[a, b] == pytest.approx(bi(a, b), rel=1e-12)
+    assert tbl[hole] == pytest.approx(bow(hole[0]) + uni(hole[1]), rel=1e-12)
+
+
+def test_large_arpa_distributed_scoring_matches_driver(spark, tmp_path):
+    """End-to-end seam at artifact scale: the ≥10⁴-entry synth ARPA flows
+    through load → broadcast → the PRODUCTION score path (stage.score /
+    score_batch), and the distributed ppl equals the driver-side
+    perplexity_table row-for-row; langid and keep/drop still run the
+    builtin profiles."""
+    import pyspark.sql.functions as F
+
+    from pii_detection_service_spark import udfs
+    from pii_detection_service_spark.sources import artifacts
+
+    p = str(tmp_path / "big.arpa")
+    quality.export_synth_arpa(p)
+    bc = artifacts.broadcast_arpa_lm(spark, p)
+
+    texts = [f"caption number {i} with the thing on the table" for i in range(40)]
+    texts += ["", "zz", "the the the", "él ñandú 〠 non-latin ⽕"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, caption string"
+    )
+    scored = df.withColumn(
+        "_s", udfs.make_score_struct_udf(bc)(F.col("caption"))
+    ).select("doc_id", "_s.lang", "_s.ppl", "_s.keep")
+    got = {r["doc_id"]: r for r in scored.collect()}
+
+    tbl = quality.load_arpa_char_bigram(p)
+    for i, t in enumerate(texts):
+        assert got[i]["ppl"] == quality.perplexity_table(t, tbl)
+        lang, _ = quality.lang_and_ppl(t)  # langid unchanged by the LM swap
+        assert got[i]["lang"] == lang
+
+
+def test_score_batch_arpa_roundtrip_matches_builtin():
+    """score_batch with the builtin-exported-then-loaded ARPA table must
+    reproduce the builtin scoring (ppl to 1e-9 relative, everything else
+    exactly) — the invariant behind pipeline_scores_arpa_quantized sharing
+    pipeline_scores_quantized's exact oracle."""
+    import tempfile
+
+    import pandas as pd
+
+    from pii_detection_service_spark import udfs
+
+    with tempfile.NamedTemporaryFile(suffix=".arpa", mode="w", delete=False) as f:
+        p = f.name
+    quality.export_builtin_lm_arpa(p)
+    tbl = quality.load_arpa_char_bigram(p)
+    caps = pd.Series(
+        ["the quick brown fox", "el zorro marron", "", "a", "zzzz ~~~ !!!"]
+    )
+    a = udfs.score_batch(caps)
+    b = udfs.score_batch(caps, tbl)
+    for col in a.columns:
+        if col == "ppl":
+            assert np.allclose(a[col], b[col], rtol=1e-9, atol=0)
+        else:
+            assert a[col].tolist() == b[col].tolist()
+
+
 def test_word_level_arpa_raises_instead_of_degenerate_table(tmp_path):
     """A standard word-level KenLM ARPA file must raise, not silently
     return the all-floor table that scores every document identically."""
