@@ -51,6 +51,25 @@ FIRST_NAMES = frozenset(
 )
 HONORIFICS = frozenset({"dr.", "mr.", "mrs.", "ms.", "prof.", "dr", "mr", "mrs", "ms", "prof"})
 
+# The gazetteer binding the span finder actually reads. A production
+# pipeline swaps in a large broadcast artifact (artifacts.broadcast_gazetteer
+# → udfs.score_batch(gazetteer=...)); the builtin set is the default and
+# the golden-test contract.
+_GAZETTEER: frozenset = FIRST_NAMES
+
+
+def set_gazetteer(names) -> frozenset:
+    """Rebind the given-name gazetteer (module-level, once per executor
+    process — the same state model as the regexes and LM tables). Entries
+    must be LOWERCASE (the span finder folds candidate words, not the
+    set — artifacts.broadcast_gazetteer lowercases on construction).
+    Returns the previous binding so callers can restore it (tests; batch
+    scoping in udfs.score_batch)."""
+    global _GAZETTEER
+    prev = _GAZETTEER
+    _GAZETTEER = names if isinstance(names, frozenset) else frozenset(names)
+    return prev
+
 # Toxicity gazetteer (north rule: "regex + gazetteer PII/toxicity
 # scrubbing"). Deliberately mild, fixed, versioned stand-ins — a production
 # pipeline swaps in a real blocklist; semantics (word-boundary match,
@@ -155,7 +174,7 @@ def find_pii_spans(
     i = 0
     while i < len(toks):
         w, ts, te = toks[i]
-        if w[:1].isupper() and w.lower() in FIRST_NAMES and free(ts, te):
+        if w[:1].isupper() and w.lower() in _GAZETTEER and free(ts, te):
             j = i + 1
             end = te
             while j < len(toks):

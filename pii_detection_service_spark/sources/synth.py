@@ -198,3 +198,31 @@ def synth_spark(spark, n: int, size: int = 24, num_partitions: int | None = None
 
     rng_df = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
     return rng_df.mapInPandas(gen, schema=schema)
+
+
+_NAME_ONSETS = "b br c ch d f g gr h j k l m n p r s sh t th v w".split()
+_NAME_NUCLEI = "a e i o u ai ei ia io".split()
+_NAME_CODAS = ["", "n", "r", "l", "s", "m", "t", "k", "ra", "na", "la"]
+
+
+def synth_gazetteer(n: int = 20000) -> frozenset:
+    """Deterministic ≥n-entry given-name gazetteer for artifact-scale
+    tests/benches (the builtin FIRST_NAMES is ~50 names; a production
+    pipeline broadcasts 10⁴-10⁵). Names are CV(C) syllable products —
+    pronounceable-ish, lowercase (the tagger folds case), disjoint from
+    ordinary caption vocabulary with overwhelming likelihood, and always a
+    SUPERSET of the builtin set so golden behavior is preserved when used
+    as extra_names. 22×9×11 two-syllable stems × suffix variants ≥ 20k."""
+    from ..functions.tagger import FIRST_NAMES
+
+    names = set(FIRST_NAMES)
+    syll = [
+        o + v + c for o in _NAME_ONSETS for v in _NAME_NUCLEI for c in _NAME_CODAS
+    ]
+    i = 0
+    while len(names) < n:
+        a = syll[i % len(syll)]
+        b = syll[(i * 7 + i // len(syll)) % len(syll)]
+        names.add(a + b)
+        i += 1
+    return frozenset(names)

@@ -32,12 +32,22 @@ SCORE_DDL = (
 )
 
 
-def score_batch(captions: pd.Series, lm_tbl=None) -> pd.DataFrame:
+def score_batch(captions: pd.Series, lm_tbl=None, gazetteer=None) -> pd.DataFrame:
     """One fused scoring pass over a caption batch: langid + perplexity +
     keep/drop heuristics + BIO PII tagging + scrub (SURVEY.md §2.9 UDF
     batch 1+2 fused — one Arrow hop instead of two). ``lm_tbl`` swaps the
     perplexity model for a loaded ARPA table (artifacts.broadcast_arpa_lm
-    seam); None scores against the builtin."""
+    seam); ``gazetteer`` swaps the given-name set for a large broadcast
+    artifact (artifacts.broadcast_gazetteer); None keeps the builtins."""
+    prev_gaz = tagger.set_gazetteer(gazetteer) if gazetteer is not None else None
+    try:
+        return _score_batch_inner(captions, lm_tbl)
+    finally:
+        if prev_gaz is not None:
+            tagger.set_gazetteer(prev_gaz)
+
+
+def _score_batch_inner(captions: pd.Series, lm_tbl) -> pd.DataFrame:
     caps = captions.fillna("")
     lp = caps.map(  # fused: one lower + one bigram encode
         lambda t: quality.lang_and_ppl(t, lm_tbl)
@@ -66,11 +76,15 @@ def score_batch(captions: pd.Series, lm_tbl=None) -> pd.DataFrame:
 
 
 def make_score_iter(
-    passthrough_cols: list[str], caption_col: str = "caption", lm_bc=None
+    passthrough_cols: list[str],
+    caption_col: str = "caption",
+    lm_bc=None,
+    gaz_bc=None,
 ):
-    """mapInPandas function: passthrough + scored columns. ``lm_bc`` is an
-    optional Broadcast of a loaded ARPA LM table (resolved to its value
-    once per batch iterator, i.e. once per task, not per row).
+    """mapInPandas function: passthrough + scored columns. ``lm_bc`` /
+    ``gaz_bc`` are optional Broadcasts of a loaded ARPA LM table and a
+    large gazetteer (resolved to their values once per batch iterator,
+    i.e. once per task, not per row).
 
     NOTE: this ships EVERY column (including image bytes) through Arrow to
     Python. Prefer ``score_struct_udf`` (plans/stage.py uses it): a scalar
@@ -82,24 +96,27 @@ def make_score_iter(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tbl = lm_bc.value if lm_bc is not None else None
+        gaz = gaz_bc.value if gaz_bc is not None else None
         for pdf in batches:
-            scored = score_batch(pdf[caption_col], tbl)
+            scored = score_batch(pdf[caption_col], tbl, gaz)
             yield pd.concat([pdf[passthrough_cols], scored], axis=1)
 
     return fn
 
 
-def make_score_struct_udf(lm_bc=None):
+def make_score_struct_udf(lm_bc=None, gaz_bc=None):
     """Scalar pandas_udf: caption in → struct of scored columns out. Only
     the caption column crosses the Arrow boundary; bytes/phash/etc. stay
     JVM-side. Same kernel (score_batch), bit-identical outputs; ``lm_bc``
-    optionally swaps the perplexity model for a broadcast ARPA table."""
+    / ``gaz_bc`` optionally swap the perplexity model / gazetteer for
+    broadcast artifacts."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(f"struct<{SCORE_DDL}>")
     def score_struct(captions: pd.Series) -> pd.DataFrame:
         tbl = lm_bc.value if lm_bc is not None else None
-        return score_batch(captions, tbl)
+        gaz = gaz_bc.value if gaz_bc is not None else None
+        return score_batch(captions, tbl, gaz)
 
     return score_struct
 

@@ -59,6 +59,9 @@ def main():
         "ann_search_ivf_learned",
         "multimodal_audio_keep",
         "quality_gopher_repetition",
+        # round-4 scale-path queries
+        "dedup_phash_candidates",
+        "pipeline_scores_arpa_quantized",
     ]
     out = ["# PLANS — formatted physical plans for load-bearing queries", ""]
     for name in picks:
