@@ -187,6 +187,7 @@ def main():
     # shared hash — the template/logo skew case), the rest are xxhash64
     # pseudo-random.
     phash_tbl = spark.read.parquet(docs_path).select(
+        F.col("doc_id").alias("nid"),
         F.format_string("img_%09d", "doc_id").alias("image_id"),
         F.expr(
             "if(doc_id % 10 = 0, "
@@ -200,6 +201,18 @@ def main():
         "phash_candidates",
         lambda: dedup.phash_near_dup_candidates(phash_tbl).count(),
     )
+    # transitive image clustering over the same table: the 10% template
+    # cluster (≤2-bit perturbations of one hash) is a CC stress — a
+    # ~n/10-member component whose star edges must collapse without a
+    # hot task or round blowup (telemetry printed below).
+    cc_tel_ph: dict = {}
+    timed(
+        "phash_clusters",
+        lambda: dedup.phash_cluster_labels(
+            phash_tbl, telemetry=cc_tel_ph
+        ).count(),
+    )
+    print(f"  phash_clusters telemetry: {cc_tel_ph}", file=sys.stderr)
 
     # flagship score-only throughput (map-only Arrow pass)
     ips = None

@@ -67,9 +67,11 @@ def main():
         "ann_search_ivf_learned",
         "multimodal_audio_keep",
         "quality_gopher_repetition",
-        # round-4 additions: image-side phash near-dup and the scoring
-        # kernel behind the full ARPA artifact seam
+        # round-4 additions: image-side phash near-dup (candidates AND
+        # transitive clusters) and the scoring kernel behind the full
+        # ARPA artifact seam
         "dedup_phash_candidates",
+        "dedup_phash_clusters",
         "pipeline_scores_arpa_quantized",
     ]
 

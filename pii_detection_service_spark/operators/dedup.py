@@ -828,3 +828,70 @@ def phash_candidates(spark, sf_dir) -> DataFrame:
     phash pipeline is bit-identical to the reference, AND the banding
     logic matches an independent SQL implementation."""
     return phash_near_dup_candidates(phash_corpus(spark, 300))
+
+
+def phash_cluster_labels(
+    d: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    telemetry: dict | None = None,
+) -> DataFrame:
+    """Transitive image near-dup clustering — the endgame of phash dedup,
+    mirroring dedup_clusters on the text side: a re-encode A within
+    Hamming 3 of B, where B is within 3 of a further re-encode C, must
+    land in ONE cluster even when A and C are 6 bits apart. Edges are the
+    VERIFIED candidate pairs (banded star edges + bit_count(xor) ≤ k —
+    never unverified band collisions, which would merge unrelated images
+    through a shared 16-bit word), then connected components collapse
+    chains to their minimum member.
+
+    Input needs (nid:long, image_id, phash): CC runs on the NUMERIC id —
+    its convergence checksum is a provably-monotone integer sum, and at
+    10¹² rows numeric shuffle keys beat string keys anyway. Callers
+    derive nid from their id scheme (the registered query parses the
+    synth id; a production pipeline ships a surrogate key).
+    Returns (image_id, cluster_id, survivor) with cluster_id the minimum
+    member's image_id string."""
+    ph = d.select(
+        F.col("nid").alias("doc_id"), F.col("image_id"), "phash"
+    ).localCheckpoint(eager=False)
+    cand = phash_near_dup_candidates(
+        ph.select(F.col("doc_id").alias("image_id"), "phash"), max_hamming
+    )
+    # candidate ids are the numeric ids here (passed through the image_id
+    # column of the candidate contract)
+    edges = cand.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    und = edges.unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
+    labels = connected_components_auto(
+        ph.select("doc_id"), und, telemetry=telemetry
+    )
+    und.unpersist()
+    ids = ph.select("doc_id", "image_id")
+    cl_ids = ph.select(
+        F.col("doc_id").alias("cluster"), F.col("image_id").alias("cluster_id")
+    )
+    return (
+        labels.join(ids, "doc_id")
+        .join(cl_ids, "cluster")
+        .select(
+            "image_id",
+            "cluster_id",
+            (F.col("cluster") == F.col("doc_id")).alias("survivor"),
+        )
+    )
+
+
+def phash_clusters(spark, sf_dir) -> DataFrame:
+    """Driver-oracled image clustering query over the planted synth corpus
+    (exact-dup pixel clusters + 0-2-bit variants). The DuckDB twin
+    re-derives banding, star edges, the Hamming verify, AND the
+    transitive closure (recursive CTE) over driver-side reference
+    phashes. nid doubles the base index and marks variants odd — the
+    same expression inlined in the SQL twin."""
+    d = phash_corpus(spark, 300).withColumn(
+        "nid",
+        F.expr("cast(substring(image_id, 5, 8) as bigint)") * 2
+        + F.when(F.col("image_id").endswith("_v"), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return phash_cluster_labels(d)

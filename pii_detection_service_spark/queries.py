@@ -191,6 +191,66 @@ WHERE bit_count(xor(pa.phash, pb.phash)) <= {dd.PHASH_MAX_HAMMING}
 ORDER BY hamming, id_a, id_b
 """
 
+
+def _phash_clusters_sql(n: int = 300) -> str:
+    """Transitive image-cluster oracle: the same driver-side reference
+    phashes as _phash_sql (pure-Python average_hash + planted variant
+    masks), nid = 2*i for base rows and 2*i+1 for variants — the literal
+    twin of the registered query's ``substring(image_id,5,8)*2 +
+    endswith('_v')`` expression — then banding, star edges vs the
+    band-group min nid, Hamming-≤k verify, and a recursive-CTE transitive
+    closure. The CTE is the DuckDB oracle for the Spark
+    min-label-propagation loop: both converge to the minimum reachable
+    nid, re-keyed back to image_id strings for the output contract."""
+    from .operators import dedup as dd
+    from .sources.imagecodec import average_hash
+    from .sources.synth import pixels_for
+
+    rows = []
+    for i in range(n):
+        ph = average_hash(pixels_for(i))
+        rows.append(f"('img_{i:08d}', {2 * i}::BIGINT, {ph}::BIGINT)")
+        if i % 7 == 3:
+            rows.append(
+                f"('img_{i:08d}_v', {2 * i + 1}::BIGINT, "
+                f"{ph ^ dd.phash_variant_bits(i)}::BIGINT)"
+            )
+    return f"""
+WITH RECURSIVE p(image_id, nid, phash) AS (VALUES {", ".join(rows)}),
+b AS (
+  SELECT nid, phash, t.band,
+         ((phash >> (t.band * 16)) & 65535) AS band_key
+  FROM p CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(band)
+),
+g AS (
+  SELECT band, band_key, min(nid) AS grp_min
+  FROM b GROUP BY band, band_key
+),
+cand AS (
+  SELECT DISTINCT g.grp_min AS a, b.nid AS b
+  FROM b JOIN g ON b.band = g.band AND b.band_key = g.band_key
+  WHERE b.nid != g.grp_min
+),
+e AS (
+  SELECT c.a, c.b FROM cand c
+  JOIN p pa ON pa.nid = c.a
+  JOIN p pb ON pb.nid = c.b
+  WHERE bit_count(xor(pa.phash, pb.phash)) <= {dd.PHASH_MAX_HAMMING}
+),
+und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+reach(src, dst) AS (
+  SELECT nid, nid FROM p
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+),
+lab AS (SELECT src AS nid, min(dst) AS cluster FROM reach GROUP BY src)
+SELECT pi.image_id, pc.image_id AS cluster_id,
+       lab.cluster = lab.nid AS survivor
+FROM lab
+JOIN p pi ON pi.nid = lab.nid
+JOIN p pc ON pc.nid = lab.cluster
+"""
+
 # ---------------------------------------------------------------------------
 # Oracle SQL fragments shared across queries (mirror operators/*.py).
 # ---------------------------------------------------------------------------
@@ -1031,6 +1091,8 @@ ORACLES: dict[str, str | None] = {
     "multimodal_audio_keep": _audio_keep_sql(),
     # image near-dup gate: exact oracle (see _phash_sql docstring)
     "dedup_phash_candidates": _phash_sql(),
+    # transitive image clusters: recursive-CTE exact oracle
+    "dedup_phash_clusters": _phash_clusters_sql(),
     "quality_gopher_repetition": _gopher_sql(),
     # --- UDF-backed pipeline queries: rows-only driver check ---
     "pipeline_score_documents": None,
@@ -1070,6 +1132,7 @@ SPARK_BUILDERS = {
     "dedup_exact": dedup.exact_dedup,
     "dedup_minhash_signatures": dedup.minhash_signatures,
     "dedup_phash_candidates": dedup.phash_candidates,
+    "dedup_phash_clusters": dedup.phash_clusters,
     "dedup_minhash_survivors": dedup.minhash_survivors,
     "dedup_clusters": dedup.dedup_clusters,
     "documents_render": relational.documents_render,
@@ -1079,7 +1142,6 @@ SPARK_BUILDERS = {
     "dedup_jaccard_candidates": dedup.jaccard_candidates,
     "dedup_embedding_cosine": dedup.embedding_near_dup,
     "sim_topk_cosine": similarity.topk_cosine,
-    "ann_lsh_buckets": similarity.lsh_buckets,
     "ann_search_pruned": similarity.ann_search,
     "ann_search_multiprobe": similarity.ann_search_multiprobe,
     "ann_search_ivf": similarity.ann_ivf_search,
@@ -1110,7 +1172,11 @@ SPARK_BUILDERS = {
     # pipeline_scores_quantized rotated out for r4's
     # pipeline_scores_arpa_quantized, which runs the SAME kernel path plus
     # the ARPA export→load→broadcast artifact seam against the same exact
-    # oracle ---
+    # oracle; ann_lsh_buckets rotated out for r4's dedup_phash_clusters
+    # (the ANN family keeps 4 window slots — pruned/multiprobe/ivf/
+    # ivf_learned — and ann_search_pruned consumes the same bucket
+    # assignment the rotated query exposes) ---
+    "ann_lsh_buckets": similarity.lsh_buckets,
     "pipeline_scores_quantized": pipeline.scores_oracle,
     "dedup_minhash_bands": dedup.minhash_band_candidates,
     "tfidf_top_terms": textstats.tfidf_top_terms,

@@ -207,3 +207,62 @@ def test_phash_corpus_query_contract(spark):
         if any(f"img_{i:08d}_v" in p for p in pairs)
     )
     assert variant_hits >= 0.8 * len(range(3, 300, 7))
+
+
+def test_phash_clusters_transitive_chain(spark):
+    """The clustering contract the candidate query alone can't give: a
+    chain A -(3 bits)- B -(3 bits)- C where A and C are 6 bits apart
+    (outside the pairwise verify) must still collapse to ONE cluster via
+    transitive closure, while a far-away singleton D stays its own
+    cluster and survivor flags mark exactly the cluster minima.
+
+    Chain construction respects the star-edge recall contract: each link's
+    flipped bits stay inside ONE band, so the A-B link surfaces in the
+    band-0..2 groups (min = A) and the B-C link surfaces in the band-3
+    group {B, C} (min = B). A chain whose links each scatter bits across
+    three bands would leave every shared group min'd at A, and the
+    (A, C) star edge fails the Hamming verify — candidates pair members
+    with their group min, not all-pairs (by design: all-pairs is
+    quadratic under template skew)."""
+    base = 0x0123456789ABCDEF
+    a = base
+    b = a ^ (1 << 48) ^ (1 << 52) ^ (1 << 56)  # 3 bits, all in band 3
+    c = b ^ (1 << 1) ^ (1 << 5) ^ (1 << 9)  # 3 bits in band 0; (a,c)=6
+    d = ~base & 0x7FFFFFFFFFFFFFFF  # far from everything
+    rows = [(0, "imgA", a), (1, "imgB", b), (2, "imgC", c), (3, "imgD", d)]
+    df = spark.createDataFrame(rows, "nid long, image_id string, phash long")
+    got = {
+        r["image_id"]: (r["cluster_id"], r["survivor"])
+        for r in dedup.phash_cluster_labels(df).collect()
+    }
+    assert got == {
+        "imgA": ("imgA", True),
+        "imgB": ("imgA", False),
+        "imgC": ("imgA", False),
+        "imgD": ("imgD", True),
+    }
+
+
+def test_phash_clusters_corpus_contract(spark):
+    """Registered query over the synth corpus: every i % 11 == 0 exact-dup
+    row (identical pixels → identical phash) lands in img_00000000's
+    cluster, each planted _v variant shares a cluster with its base, and
+    cluster_id always names the lexicographic... rather, the min-nid
+    member (which for this corpus's id scheme is also the min image_id in
+    the cluster)."""
+    out = dedup.phash_clusters(spark, SF).collect()
+    lab = {r["image_id"]: r["cluster_id"] for r in out}
+    n_rows = 300 + len(range(3, 300, 7))
+    assert len(lab) == n_rows
+    for i in range(0, 300, 11):
+        assert lab[f"img_{i:08d}"] == lab["img_00000000"]
+    merged = sum(
+        1
+        for i in range(3, 300, 7)
+        if lab.get(f"img_{i:08d}_v") == lab[f"img_{i:08d}"]
+    )
+    assert merged >= 0.8 * len(range(3, 300, 7))
+    # survivor flags: exactly one per cluster, and it is the min member
+    surv = {r["image_id"] for r in out if r["survivor"]}
+    assert surv == {min(ids) for c in set(lab.values())
+                    for ids in [[k for k, v in lab.items() if v == c]]}
