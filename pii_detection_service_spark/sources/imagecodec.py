@@ -1,7 +1,13 @@
 """Deterministic image codecs, all pure Python (no PIL/libjpeg needed).
 
-- PNG: a real, spec-conformant encoder/decoder (8-bit RGB, filter 0,
-  zlib-compressed IDAT) — output opens in any PNG viewer. Lossless.
+- PNG: encode here is the byte-stable fast path (8-bit RGB, filter 0,
+  zlib IDAT — opens in any viewer; the synth corpus and every bench
+  cache are keyed on its exact bytes). Decode delegates to the full
+  spec-profile codec (``pngcodec.py``): all five filters, color types
+  0/2/3/4/6, bit depths 1-16, Adam7, tRNS, CRC validation — i.e. real
+  crawl PNGs, not just our own output. ``pngcodec.encode_png`` exposes
+  the flexible encoder (palette/16-bit/interlace/adaptive filters) for
+  fabricating those layouts in tests.
 - JPEG: a real JFIF encoder/decoder (``jpegcodec.py``): DCT, Annex-K
   quantization/Huffman tables, baseline AND progressive frames, 4:4:4
   through 4:2:0 sampling, byte stuffing. The synthetic pipeline encodes
@@ -52,23 +58,13 @@ def encode_png(pixels: np.ndarray) -> bytes:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    assert data[:8] == _PNG_SIG, "not a PNG"
-    pos = 8
-    w = h = 0
-    idat = b""
-    while pos < len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        if tag == b"IHDR":
-            w, h, bits, ctype = struct.unpack(">IIBB", payload[:10])
-            assert bits == 8 and ctype == 2, "codec only handles 8-bit RGB"
-        elif tag == b"IDAT":
-            idat += payload
-        pos += 12 + length
-    raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, w * 3 + 1)
-    assert (raw[:, 0] == 0).all(), "codec only emits/reads filter type 0"
-    return raw[:, 1:].reshape(h, w, 3).copy()
+    """Full spec-profile PNG decode (``pngcodec.py``): all five row
+    filters, color types 0/2/3/4/6, bit depths 1-16, Adam7, tRNS, CRC
+    validation — a real crawl's PNGs, not just this module's own filter-0
+    RGB output. Returns uint8 (h,w[,2|3|4])."""
+    from . import pngcodec
+
+    return pngcodec.decode_png(data)
 
 
 def encode_jpeg_like(pixels: np.ndarray) -> bytes:
@@ -122,11 +118,17 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
 
 
 def to_rgb(px: np.ndarray) -> np.ndarray:
-    """Channel-normalize decoded pixels: grayscale (h, w) broadcasts to
-    (h, w, 3) so downstream feature/resize plumbing is shape-stable across
-    1- and 3-component sources (what a real ingest does before any model)."""
+    """Channel-normalize decoded pixels to (h, w, 3) so downstream
+    feature/resize plumbing is shape-stable across 1/2/3/4-component
+    sources: grayscale broadcasts, alpha channels are dropped (the
+    standard ingest normalization before any vision model — compositing
+    would need a background choice the pipeline doesn't make)."""
     if px.ndim == 2:
         return np.repeat(px[..., None], 3, axis=-1)
+    if px.shape[-1] == 2:  # gray + alpha
+        return np.repeat(px[..., :1], 3, axis=-1)
+    if px.shape[-1] == 4:  # RGBA
+        return np.ascontiguousarray(px[..., :3])
     return px
 
 
