@@ -264,7 +264,10 @@ def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
     video pipeline uses. Dispatches by magic: REAL MJPEG AVI containers
     (sources/avicodec.py) yield their raw per-frame JPEG payloads without
     pixel-decoding anything (sampling is a container walk, not a decode);
-    the legacy FVID stand-in still parses; anything else raises."""
+    animated GIFs (sources/gifcodec.py) MUST decode+composite — a GIF
+    frame is a delta over the prior canvas (disposal/transparency), so
+    sampled frames are emitted as standalone PNG bytes; the legacy FVID
+    stand-in still parses; anything else raises."""
     import struct
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -277,6 +280,15 @@ def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
                     for idx, frame in enumerate(frames):
                         if idx % every == 0:
                             rows.append((iid, idx, frame))
+                    continue
+                if data[:6] in (b"GIF87a", b"GIF89a"):
+                    from ..sources import gifcodec, imagecodec
+
+                    for idx, frame in enumerate(gifcodec.decode_gif_frames(data)):
+                        if idx % every == 0:
+                            rows.append(
+                                (iid, idx, imagecodec.encode_png(frame))
+                            )
                     continue
                 if data[:4] != b"FVID":
                     raise NotImplementedError(

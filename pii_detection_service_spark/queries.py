@@ -47,9 +47,10 @@ def _multimodal_decode_stats(spark, sf_dir):
 
 def _multimodal_decode_stats_mixed(spark, sf_dir):
     """Decode stats over the REAL-corpus format mix — PNG, baseline color
-    JPEG, grayscale (1-component) JPEG, 4:2:0 color JPEG — proving the
-    decode plumbing is shape-stable across 1- and 3-component sources
-    (rows-only: binary media has no SQL decoder)."""
+    JPEG, grayscale (1-component) JPEG, 4:2:0 color JPEG, palette GIF —
+    proving the decode plumbing is shape-stable across 1- and 3-component
+    and palette-indexed sources (rows-only: binary media has no SQL
+    decoder)."""
     from .sources.synth import synth_spark_mixed
 
     return multimodal.decode_stats(synth_spark_mixed(spark, 400))
@@ -88,6 +89,43 @@ def _multimodal_video_frames(spark, sf_dir):
 
     vids = spark.range(60).mapInPandas(gen, "image_id string, bytes binary")
     return multimodal.sample_frames(vids, every=2)
+
+
+def _multimodal_gif_frames(spark, sf_dir):
+    """Frame-sample every 2nd frame from real animated GIF89a containers
+    (transparency deltas + disposal compositing; sampled frames emitted
+    as standalone PNGs — row-EXPANDING binary transform; rows-only)."""
+    import numpy as np
+    import pandas as pd
+
+    from .sources import gifcodec
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng(1000 + i)
+                base = rng.integers(0, 4, (16, 16), np.uint8)
+                frames = [base]
+                for f in range(1, 5):
+                    nxt = frames[-1].copy()
+                    nxt[(f * 3) % 16, :] = (f + i) % 4
+                    frames.append(nxt)
+                pal = np.array(
+                    [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                    np.uint8,
+                )
+                rows.append((
+                    f"gif_{i:06d}",
+                    gifcodec.encode_gif(
+                        frames, indexed_palette=pal, transparent_index=0
+                    ),
+                ))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    gifs = spark.range(60).mapInPandas(gen, "image_id string, bytes binary")
+    return multimodal.sample_frames(gifs, every=2)
 
 
 def _multimodal_audio_stats(spark, sf_dir):
@@ -1108,6 +1146,7 @@ ORACLES: dict[str, str | None] = {
     "multimodal_audio_stats": None,
     "multimodal_resize": None,
     "multimodal_video_frames": None,
+    "multimodal_gif_frames": None,
 }
 
 SPARK_BUILDERS = {
@@ -1195,6 +1234,7 @@ SPARK_BUILDERS = {
     "multimodal_audio_stats": _multimodal_audio_stats,
     "multimodal_resize": _multimodal_resize,
     "multimodal_video_frames": _multimodal_video_frames,
+    "multimodal_gif_frames": _multimodal_gif_frames,
 }
 
 assert set(ORACLES) == set(SPARK_BUILDERS)

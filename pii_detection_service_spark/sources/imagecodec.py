@@ -111,6 +111,12 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         if data[:4] == _FJPG_MAGIC:  # legacy stand-in payloads
             return decode_jpeg_like(data)
         raise ValueError("jpeg-format bytes with neither SOI nor FJPG magic")
+    if fmt == "gif":
+        from . import gifcodec
+
+        # static view: first composited frame (animated GIFs go through
+        # multimodal.sample_frames for the full frame sequence)
+        return gifcodec.decode_gif(data)
     raise NotImplementedError(
         f"format {fmt!r}: real decoders (libwebp/ffmpeg) are not available "
         "in this container; plug one in here"

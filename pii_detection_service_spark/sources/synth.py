@@ -123,12 +123,12 @@ def make_row(i: int, size: int = 24) -> dict:
 
 def make_row_mixed(i: int, size: int = 24) -> dict:
     """Like :func:`make_row` but cycling through the real-corpus format mix:
-    PNG, baseline color JPEG, GRAYSCALE (1-component) JPEG, and 4:2:0
-    color JPEG — the four layouts a 100 TB crawl actually contains.
-    Deliberately a separate generator so the main synth table (and every
-    bench cache keyed on it) stays byte-stable."""
+    PNG, baseline color JPEG, GRAYSCALE (1-component) JPEG, 4:2:0 color
+    JPEG, and palette GIF — the five layouts a 100 TB crawl actually
+    contains. Deliberately a separate generator so the main synth table
+    (and every bench cache keyed on it) stays byte-stable."""
     px = pixels_for(i, size)
-    variant = i % 4
+    variant = i % 5
     if variant == 0:
         fmt, data = "png", imagecodec.encode_png(px)
     elif variant == 1:
@@ -142,8 +142,15 @@ def make_row_mixed(i: int, size: int = 24) -> dict:
             0, 255,
         ).astype(np.uint8)
         fmt, data = "jpeg", jpegcodec.encode_grayscale_jpeg(luma, 98)
-    else:
+    elif variant == 3:
         fmt, data = "jpeg", imagecodec.encode_jpeg(px, subsampling=(2, 2))
+    else:
+        from . import gifcodec
+
+        # posterize to 4 levels/channel (≤64 colors) so the exact-palette
+        # GIF writer never overflows 256 entries on noise content; the
+        # posterized pixels ARE the ground truth (palette GIF is lossless)
+        fmt, data = "gif", gifcodec.encode_gif((px >> 6) << 6)
     return {
         "image_id": f"img_{i:08d}",
         "bytes": data,

@@ -27,6 +27,7 @@ def test_queries_and_oracles_consistent():
         "multimodal_audio_stats",
         "multimodal_resize",
         "multimodal_video_frames",
+        "multimodal_gif_frames",
         "sim_topk_cosine_fast",
     }
 
