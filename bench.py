@@ -73,6 +73,8 @@ def main():
         "dedup_phash_candidates",
         "dedup_phash_clusters",
         "pipeline_scores_arpa_quantized",
+        # cross-modal union clustering (image phash ∪ caption LSH edges)
+        "dedup_crossmodal_clusters",
     ]
 
     # Warm the Python worker pool (each worker cold-imports pandas/numpy

@@ -73,21 +73,28 @@ def exact_dedup(spark, sf_dir) -> DataFrame:
     )
 
 
-def minhash_signatures(spark, sf_dir) -> DataFrame:
-    """MinHash (k=8) over distinct character 3-gram shingle ids. Map-only:
-    the shingle-id array is computed once per row (see _with_shingles),
-    then each of the k permutations is a cheap arithmetic array_min over
-    that shared array."""
-    d = _with_shingles(
-        table(spark, sf_dir, "documents").where(F.length("text") >= 3)
-    )
+def _minhash_sig(sh: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh7) from a (doc_id, hs: array<bigint>) frame — each of
+    the k permutations is a cheap arithmetic array_min over the shared
+    shingle-id array, so the whole signature stays map-only."""
     cols = [
         F.expr(f"array_min(transform(hs, h -> ({a} * h + {b}) % {MOD}))").alias(
             f"mh{j}"
         )
         for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
-    return d.select("doc_id", *cols)
+    return sh.select("doc_id", *cols)
+
+
+def minhash_signatures(spark, sf_dir) -> DataFrame:
+    """MinHash (k=8) over distinct character 3-gram shingle ids. Map-only:
+    the shingle-id array is computed once per row (see _with_shingles),
+    then each permutation is an array_min over that shared array."""
+    return _minhash_sig(
+        _with_shingles(
+            table(spark, sf_dir, "documents").where(F.length("text") >= 3)
+        )
+    )
 
 
 def _band_assignments(sig: DataFrame) -> DataFrame:
@@ -895,3 +902,146 @@ def phash_clusters(spark, sf_dir) -> DataFrame:
         + F.when(F.col("image_id").endswith("_v"), F.lit(1)).otherwise(F.lit(0)),
     )
     return phash_cluster_labels(d)
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal near-dup clustering: image (phash) ∪ caption (minhash-LSH)
+# edges feeding ONE connected-components pass — "duplicate if EITHER
+# modality matches", the dedup rule an image+caption training corpus
+# (LAION-style) actually applies. A re-encoded image with a fresh caption
+# and a re-captioned copy of the same photo both collapse into the
+# original's cluster, including chains that alternate modalities
+# (A ~image~ B ~text~ C ⇒ one cluster even though A and C share nothing).
+# ---------------------------------------------------------------------------
+
+CROSSMODAL_JACCARD_TAU = 0.8
+
+
+def caption_lsh_edges(
+    rows: DataFrame, tau: float = CROSSMODAL_JACCARD_TAU
+) -> DataFrame:
+    """Verified caption near-dup edges (a, b) from (nid, caption) rows.
+
+    The text half of the cross-modal graph, every stage the scale path:
+    3-gram shingle ids (map-only arithmetic) → MinHash k=8 → 4×2 band star
+    edges against the band-group min nid (groupBy+join, skew-proof for
+    template captions) → exact Jaccard ≥ tau computed ONLY on candidate
+    edges. Captions shorter than one shingle (< 3 chars, incl. empty) take
+    no part — a bare re-encode with no caption can still cluster through
+    the image side. The shingle table is localCheckpointed once for its
+    three plan consumers (signature + both verify joins)."""
+    sh = (
+        _with_shingles(
+            rows.where(F.length("caption") >= 3).select(
+                F.col("nid").alias("doc_id"), F.col("caption").alias("text")
+            )
+        )
+        .select("doc_id", "hs")
+        .localCheckpoint(eager=False)
+    )
+    star = _with_grp_min(_band_assignments(_minhash_sig(sh)))
+    cand = (
+        star.where(F.col("doc_id") != F.col("grp_min"))
+        .select(F.col("grp_min").alias("a"), F.col("doc_id").alias("b"))
+        .distinct()
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(
+            sh.select(F.col("doc_id").alias("a"), F.col("hs").alias("sh_a")), "a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("b"), F.col("hs").alias("sh_b")), "b"
+        )
+        .where(jac >= tau)
+        .select("a", "b")
+    )
+
+
+def crossmodal_cluster_labels(
+    d: DataFrame,
+    tau: float = CROSSMODAL_JACCARD_TAU,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    telemetry: dict | None = None,
+) -> DataFrame:
+    """Transitive clusters over the UNION of image and caption edges.
+
+    Input: (nid:long, image_id, caption, phash). Image edges are the
+    banded-phash star edges verified at Hamming ≤ max_hamming
+    (phash_near_dup_candidates); caption edges are LSH star edges verified
+    at Jaccard ≥ tau (caption_lsh_edges). Both edge families are linear in
+    corpus size under skew (star edges vs the band-group min, never
+    within-group all-pairs), and both verify BEFORE the union — an
+    unverified band collision in either modality would fuse unrelated
+    clusters through one bad edge, which transitivity then amplifies.
+    Connected components run once on the merged graph over numeric nids.
+    Returns (image_id, cluster_id, survivor), cluster_id = the minimum
+    member's image_id."""
+    rows = d.select("nid", "image_id", "caption", "phash").localCheckpoint(
+        eager=False
+    )
+    icand = phash_near_dup_candidates(
+        rows.select(F.col("nid").alias("image_id"), "phash"), max_hamming
+    )
+    ie = icand.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    te = caption_lsh_edges(rows.select("nid", "caption"), tau)
+    edges = ie.unionByName(te).distinct()
+    und = edges.unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
+    labels = connected_components_auto(
+        rows.select(F.col("nid").alias("doc_id")), und, telemetry=telemetry
+    )
+    und.unpersist()
+    ids = rows.select(F.col("nid").alias("doc_id"), "image_id")
+    cl = rows.select(
+        F.col("nid").alias("cluster"), F.col("image_id").alias("cluster_id")
+    )
+    return (
+        labels.join(ids, "doc_id")
+        .join(cl, "cluster")
+        .select(
+            "image_id",
+            "cluster_id",
+            (F.col("cluster") == F.col("doc_id")).alias("survivor"),
+        )
+    )
+
+
+def crossmodal_corpus(spark, n: int = 300) -> DataFrame:
+    """(image_id, nid, caption, phash) over n synth rows PLUS the planted
+    phash variants of phash_corpus. Base rows keep their synth captions —
+    the degenerate fraction plants exact text dups ("tiny", "spam …"), and
+    the i %% 11 pixel cluster plants exact image dups, so rows that sit in
+    both (e.g. a pixel-cluster member with a degenerate caption) bridge the
+    two modalities transitively. Variants carry an EMPTY caption (the
+    realistic shape: a re-encode arrives uncaptioned) so they can only
+    cluster through the image side. nid = 2i, variants 2i+1 — mirrored
+    literally in the SQL twin."""
+    from ..sources.synth import synth_spark
+
+    base = synth_spark(spark, n).select("image_id", "caption", "phash")
+    i = "cast(substring(image_id, 5) as bigint)"
+    base = base.withColumn("nid", F.expr(f"{i} * 2"))
+    pert = base.where(F.expr(f"({i}) % 7 = 3")).select(
+        F.concat("image_id", F.lit("_v")).alias("image_id"),
+        F.lit("").alias("caption"),
+        F.expr(
+            f"phash ^ shiftleft(cast(1 as bigint), cast({i} % 62 as int)) "
+            f"^ shiftleft(cast(1 as bigint), cast(({i} * 31) % 62 as int))"
+        ).alias("phash"),
+        F.expr(f"{i} * 2 + 1").alias("nid"),
+    )
+    return base.unionByName(pert)
+
+
+def crossmodal_clusters(spark, sf_dir) -> DataFrame:
+    """Driver-oracled cross-modal clustering query over the planted synth
+    corpus. The DuckDB twin recomputes every phash AND every caption
+    driver-side (pure-Python average_hash / caption_for — no Spark), then
+    re-derives BOTH edge families (phash banding + Hamming verify; caption
+    shingles + minhash + banding + Jaccard verify) and the transitive
+    closure as a recursive CTE."""
+    return crossmodal_cluster_labels(crossmodal_corpus(spark, 300))

@@ -289,6 +289,99 @@ JOIN p pi ON pi.nid = lab.nid
 JOIN p pc ON pc.nid = lab.cluster
 """
 
+def _crossmodal_clusters_sql(n: int = 300) -> str:
+    """Cross-modal cluster oracle: recompute every phash (pure-Python
+    average_hash over pixels_for + variant masks) AND every caption
+    (caption_for) driver-side, inline as VALUES, then re-derive BOTH edge
+    families relationally — phash 4×16 banding + star edges + Hamming ≤ k
+    verify, caption 3-gram shingles + MinHash k=8 + 4×2 banding + star
+    edges + exact Jaccard ≥ τ verify — and close transitively with a
+    recursive CTE. Verifies the full cross-modal graph construction against
+    an independent SQL implementation, including the modality-alternating
+    chains only the union can produce."""
+    from .operators import dedup as dd
+    from .sources.imagecodec import average_hash
+    from .sources.synth import caption_for, pixels_for
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = []
+    for i in range(n):
+        ph = average_hash(pixels_for(i))
+        rows.append(
+            f"('img_{i:08d}', {2 * i}::BIGINT, {lit(caption_for(i))}, "
+            f"{ph}::BIGINT)"
+        )
+        if i % 7 == 3:
+            rows.append(
+                f"('img_{i:08d}_v', {2 * i + 1}::BIGINT, '', "
+                f"{ph ^ dd.phash_variant_bits(i)}::BIGINT)"
+            )
+    return f"""
+WITH RECURSIVE p(image_id, nid, caption, phash) AS (VALUES {", ".join(rows)}),
+ib AS (
+  SELECT nid, phash, t.band,
+         ((phash >> (t.band * 16)) & 65535) AS band_key
+  FROM p CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(band)
+),
+ig AS (
+  SELECT band, band_key, min(nid) AS grp_min
+  FROM ib GROUP BY band, band_key
+),
+icand AS (
+  SELECT DISTINCT ig.grp_min AS a, ib.nid AS b
+  FROM ib JOIN ig ON ib.band = ig.band AND ib.band_key = ig.band_key
+  WHERE ib.nid != ig.grp_min
+),
+ie AS (
+  SELECT c.a, c.b FROM icand c
+  JOIN p pa ON pa.nid = c.a
+  JOIN p pb ON pb.nid = c.b
+  WHERE bit_count(xor(pa.phash, pb.phash)) <= {dd.PHASH_MAX_HAMMING}
+),
+s AS (
+  SELECT nid, list_distinct(list_transform(range(1, length(caption) - 1),
+         i -> (ascii(caption[i::INTEGER]) * 1241245548544
+             + ascii(caption[(i + 1)::INTEGER]) * 1114112
+             + ascii(caption[(i + 2)::INTEGER])) % 1000000007)) AS hs
+  FROM p WHERE length(caption) >= 3
+),
+sig AS (SELECT nid AS doc_id, {_minhash_cols()} FROM (SELECT nid, hs FROM s) h),
+tb AS ({_BANDS_UNION}),
+tg AS (
+  SELECT band, band_key, min(doc_id) AS grp_min
+  FROM tb GROUP BY band, band_key
+),
+tcand AS (
+  SELECT DISTINCT tg.grp_min AS a, tb.doc_id AS b
+  FROM tb JOIN tg ON tb.band = tg.band AND tb.band_key = tg.band_key
+  WHERE tb.doc_id != tg.grp_min
+),
+te AS (
+  SELECT c.a, c.b FROM tcand c
+  JOIN s sa ON sa.nid = c.a
+  JOIN s sb ON sb.nid = c.b
+  WHERE len(list_intersect(sa.hs, sb.hs))
+        / len(list_distinct(list_concat(sa.hs, sb.hs)))
+        >= {dd.CROSSMODAL_JACCARD_TAU}
+),
+e AS (SELECT a, b FROM ie UNION SELECT a, b FROM te),
+und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+reach(src, dst) AS (
+  SELECT nid, nid FROM p
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+),
+lab AS (SELECT src AS nid, min(dst) AS cluster FROM reach GROUP BY src)
+SELECT pi.image_id, pc.image_id AS cluster_id,
+       lab.cluster = lab.nid AS survivor
+FROM lab
+JOIN p pi ON pi.nid = lab.nid
+JOIN p pc ON pc.nid = lab.cluster
+"""
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL fragments shared across queries (mirror operators/*.py).
 # ---------------------------------------------------------------------------
@@ -1131,6 +1224,8 @@ ORACLES: dict[str, str | None] = {
     "dedup_phash_candidates": _phash_sql(),
     # transitive image clusters: recursive-CTE exact oracle
     "dedup_phash_clusters": _phash_clusters_sql(),
+    # cross-modal (image ∪ caption edge) clusters: recursive-CTE exact oracle
+    "dedup_crossmodal_clusters": _crossmodal_clusters_sql(),
     "quality_gopher_repetition": _gopher_sql(),
     # --- UDF-backed pipeline queries: rows-only driver check ---
     "pipeline_score_documents": None,
@@ -1172,7 +1267,7 @@ SPARK_BUILDERS = {
     "dedup_minhash_signatures": dedup.minhash_signatures,
     "dedup_phash_candidates": dedup.phash_candidates,
     "dedup_phash_clusters": dedup.phash_clusters,
-    "dedup_minhash_survivors": dedup.minhash_survivors,
+    "dedup_crossmodal_clusters": dedup.crossmodal_clusters,
     "dedup_clusters": dedup.dedup_clusters,
     "documents_render": relational.documents_render,
     "window_topn_per_lang": relational.window_topn_per_group,
@@ -1214,7 +1309,12 @@ SPARK_BUILDERS = {
     # oracle; ann_lsh_buckets rotated out for r4's dedup_phash_clusters
     # (the ANN family keeps 4 window slots — pruned/multiprobe/ivf/
     # ivf_learned — and ann_search_pruned consumes the same bucket
-    # assignment the rotated query exposes) ---
+    # assignment the rotated query exposes); dedup_minhash_survivors
+    # rotated out for r4's dedup_crossmodal_clusters — its single-round
+    # min-id rule is the degenerate case of dedup_clusters (same shingle/
+    # signature/band machinery, which also stays pinned by
+    # dedup_jaccard_candidates and the crossmodal twin) ---
+    "dedup_minhash_survivors": dedup.minhash_survivors,
     "ann_lsh_buckets": similarity.lsh_buckets,
     "pipeline_scores_quantized": pipeline.scores_oracle,
     "dedup_minhash_bands": dedup.minhash_band_candidates,
