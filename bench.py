@@ -75,6 +75,8 @@ def main():
         "pipeline_scores_arpa_quantized",
         # cross-modal union clustering (image phash ∪ caption LSH edges)
         "dedup_crossmodal_clusters",
+        # distributed LM training (vocabulary-bounded count aggregation)
+        "lm_train_bigram_counts",
     ]
 
     # Warm the Python worker pool (each worker cold-imports pandas/numpy

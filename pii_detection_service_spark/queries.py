@@ -29,6 +29,7 @@ from .operators import (
     dedup,
     events,
     joins,
+    lmtrain,
     multimodal,
     pipeline,
     relational,
@@ -1226,6 +1227,25 @@ ORACLES: dict[str, str | None] = {
     "dedup_phash_clusters": _phash_clusters_sql(),
     # cross-modal (image ∪ caption edge) clusters: recursive-CTE exact oracle
     "dedup_crossmodal_clusters": _crossmodal_clusters_sql(),
+    # distributed LM training: corpus-wide clipped-bigram counts + add-one
+    # smoothed logprobs (mirrors operators/lmtrain.py expression-for-
+    # expression; counts are pure integers, lp quantized to 6 decimals)
+    "lm_train_bigram_counts": """
+        WITH t AS (SELECT '^' || lower(text) || '$' AS t FROM documents),
+        ids AS (
+          SELECT unnest(list_transform(range(1, length(t)),
+                 i -> (least(ascii(t[i::INTEGER]), 256) * 257
+                     + least(ascii(t[(i + 1)::INTEGER]), 256))::BIGINT))
+                 AS bigram_id
+          FROM t
+        ),
+        c AS (SELECT bigram_id, count(*)::BIGINT AS cnt
+              FROM ids GROUP BY bigram_id),
+        tot AS (SELECT sum(cnt) AS total, count(*) AS v FROM c)
+        SELECT bigram_id, cnt,
+               round(ln((cnt + 1) / (total + v + 1.0)), 6) AS lp
+        FROM c, tot
+    """,
     "quality_gopher_repetition": _gopher_sql(),
     # --- UDF-backed pipeline queries: rows-only driver check ---
     "pipeline_score_documents": None,
@@ -1268,10 +1288,10 @@ SPARK_BUILDERS = {
     "dedup_phash_candidates": dedup.phash_candidates,
     "dedup_phash_clusters": dedup.phash_clusters,
     "dedup_crossmodal_clusters": dedup.crossmodal_clusters,
+    "lm_train_bigram_counts": lmtrain.lm_train_bigram_counts,
     "dedup_clusters": dedup.dedup_clusters,
     "documents_render": relational.documents_render,
     "window_topn_per_lang": relational.window_topn_per_group,
-    "dedup_simhash": dedup.simhash,
     "dedup_simhash_candidates": dedup.simhash_candidates,
     "dedup_jaccard_candidates": dedup.jaccard_candidates,
     "dedup_embedding_cosine": dedup.embedding_near_dup,
@@ -1313,8 +1333,12 @@ SPARK_BUILDERS = {
     # rotated out for r4's dedup_crossmodal_clusters — its single-round
     # min-id rule is the degenerate case of dedup_clusters (same shingle/
     # signature/band machinery, which also stays pinned by
-    # dedup_jaccard_candidates and the crossmodal twin) ---
+    # dedup_jaccard_candidates and the crossmodal twin); dedup_simhash
+    # (the bare sketch) rotated out for r4's lm_train_bigram_counts —
+    # dedup_simhash_candidates re-derives the identical sketch inside its
+    # window slot, so the kernel stays exact-oracled ---
     "dedup_minhash_survivors": dedup.minhash_survivors,
+    "dedup_simhash": dedup.simhash,
     "ann_lsh_buckets": similarity.lsh_buckets,
     "pipeline_scores_quantized": pipeline.scores_oracle,
     "dedup_minhash_bands": dedup.minhash_band_candidates,
