@@ -117,6 +117,10 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         # static view: first composited frame (animated GIFs go through
         # multimodal.sample_frames for the full frame sequence)
         return gifcodec.decode_gif(data)
+    if fmt == "bmp":
+        from . import bmpcodec
+
+        return bmpcodec.decode_bmp(data)
     raise NotImplementedError(
         f"format {fmt!r}: real decoders (libwebp/ffmpeg) are not available "
         "in this container; plug one in here"

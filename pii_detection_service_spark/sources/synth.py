@@ -124,11 +124,11 @@ def make_row(i: int, size: int = 24) -> dict:
 def make_row_mixed(i: int, size: int = 24) -> dict:
     """Like :func:`make_row` but cycling through the real-corpus format mix:
     PNG, baseline color JPEG, GRAYSCALE (1-component) JPEG, 4:2:0 color
-    JPEG, and palette GIF — the five layouts a 100 TB crawl actually
-    contains. Deliberately a separate generator so the main synth table
-    (and every bench cache keyed on it) stays byte-stable."""
+    JPEG, palette GIF, and 24-bit BMP — the layouts a 100 TB crawl
+    actually contains. Deliberately a separate generator so the main synth
+    table (and every bench cache keyed on it) stays byte-stable."""
     px = pixels_for(i, size)
-    variant = i % 5
+    variant = i % 6
     if variant == 0:
         fmt, data = "png", imagecodec.encode_png(px)
     elif variant == 1:
@@ -144,13 +144,17 @@ def make_row_mixed(i: int, size: int = 24) -> dict:
         fmt, data = "jpeg", jpegcodec.encode_grayscale_jpeg(luma, 98)
     elif variant == 3:
         fmt, data = "jpeg", imagecodec.encode_jpeg(px, subsampling=(2, 2))
-    else:
+    elif variant == 4:
         from . import gifcodec
 
         # posterize to 4 levels/channel (≤64 colors) so the exact-palette
         # GIF writer never overflows 256 entries on noise content; the
         # posterized pixels ARE the ground truth (palette GIF is lossless)
         fmt, data = "gif", gifcodec.encode_gif((px >> 6) << 6)
+    else:
+        from . import bmpcodec
+
+        fmt, data = "bmp", bmpcodec.encode_bmp(px)
     return {
         "image_id": f"img_{i:08d}",
         "bytes": data,
