@@ -121,6 +121,11 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         from . import bmpcodec
 
         return bmpcodec.decode_bmp(data)
+    if fmt == "webp":
+        from . import webpcodec
+
+        # full lossless (VP8L) profile; lossy VP8 raises an honest seam
+        return webpcodec.decode_webp(data)
     raise NotImplementedError(
         f"format {fmt!r}: real decoders (libwebp/ffmpeg) are not available "
         "in this container; plug one in here"

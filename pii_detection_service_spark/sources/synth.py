@@ -124,11 +124,12 @@ def make_row(i: int, size: int = 24) -> dict:
 def make_row_mixed(i: int, size: int = 24) -> dict:
     """Like :func:`make_row` but cycling through the real-corpus format mix:
     PNG, baseline color JPEG, GRAYSCALE (1-component) JPEG, 4:2:0 color
-    JPEG, palette GIF, and 24-bit BMP — the layouts a 100 TB crawl
-    actually contains. Deliberately a separate generator so the main synth
-    table (and every bench cache keyed on it) stays byte-stable."""
+    JPEG, palette GIF, 24-bit BMP, and lossless WebP (VP8L) — the layouts
+    a 100 TB crawl actually contains. Deliberately a separate generator so
+    the main synth table (and every bench cache keyed on it) stays
+    byte-stable."""
     px = pixels_for(i, size)
-    variant = i % 6
+    variant = i % 7
     if variant == 0:
         fmt, data = "png", imagecodec.encode_png(px)
     elif variant == 1:
@@ -151,10 +152,17 @@ def make_row_mixed(i: int, size: int = 24) -> dict:
         # GIF writer never overflows 256 entries on noise content; the
         # posterized pixels ARE the ground truth (palette GIF is lossless)
         fmt, data = "gif", gifcodec.encode_gif((px >> 6) << 6)
-    else:
+    elif variant == 5:
         from . import bmpcodec
 
         fmt, data = "bmp", bmpcodec.encode_bmp(px)
+    else:
+        from . import webpcodec
+
+        # VP8L is lossless: the source pixels ARE the ground truth
+        fmt, data = "webp", webpcodec.encode_webp_lossless(
+            px, subtract_green=True, lz77=True
+        )
     return {
         "image_id": f"img_{i:08d}",
         "bytes": data,

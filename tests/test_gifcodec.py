@@ -268,9 +268,9 @@ def test_imagecodec_dispatch_gif():
 def test_synth_mixed_includes_gif():
     from pii_detection_service_spark.sources.synth import make_row_mixed
 
-    rows = [make_row_mixed(i) for i in range(12)]
+    rows = [make_row_mixed(i) for i in range(14)]
     fmts = {r["fmt"] for r in rows}
-    assert fmts == {"png", "jpeg", "gif", "bmp"}
+    assert fmts == {"png", "jpeg", "gif", "bmp", "webp"}
     for r in rows:
         if r["fmt"] == "gif":
             px = imagecodec.decode(r["bytes"], "gif")

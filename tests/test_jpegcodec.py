@@ -294,11 +294,11 @@ def test_two_component_stream_raises_honestly():
 
 def test_decode_stats_over_mixed_formats_incl_grayscale(spark):
     """The mixed-format synth table (PNG / baseline / GRAYSCALE / 4:2:0 /
-    palette GIF / 24-bit BMP) must decode row-for-row: dimensions exact
-    for every variant, the grayscale rows' mean tracking the source LUMA
-    mean (not the RGB mean), and the GIF rows' mean tracking the
-    posterized pixels the writer actually stored (palette GIF is lossless
-    over those)."""
+    palette GIF / 24-bit BMP / lossless WebP) must decode row-for-row:
+    dimensions exact for every variant, the grayscale rows' mean tracking
+    the source LUMA mean (not the RGB mean), and the GIF rows' mean
+    tracking the posterized pixels the writer actually stored (palette
+    GIF is lossless over those)."""
     from pii_detection_service_spark.operators import multimodal
     from pii_detection_service_spark.sources.synth import (
         make_row_mixed,
@@ -314,12 +314,14 @@ def test_decode_stats_over_mixed_formats_incl_grayscale(spark):
         r = got[f"img_{i:08d}"]
         assert r["decode_ok"] and r["dec_w"] == 24 and r["dec_h"] == 24, i
         px = synth.pixels_for(i)
-        if i % 6 == 2:  # grayscale rows carry the luma plane only
+        if i % 7 == 2:  # grayscale rows carry the luma plane only
             ref = float(
                 (px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])).mean()
             )
-        elif i % 6 == 4:  # GIF rows store 4-level posterized pixels exactly
+        elif i % 7 == 4:  # GIF rows store 4-level posterized pixels exactly
             ref = float(((px >> 6) << 6).mean())
+        elif i % 7 == 6:  # WebP decodes RGBA; the opaque alpha plane is
+            ref = (float(px.mean()) * 3 + 255.0) / 4  # part of the mean
         else:  # PNG / JPEG / BMP rows decode the source pixels
             ref = float(px.mean())
         assert abs(r["mean_px"] - ref) < 3.0, i
