@@ -214,6 +214,42 @@ def main():
     )
     print(f"  phash_clusters telemetry: {cc_tel_ph}", file=sys.stderr)
 
+    # cross-modal clustering: the union graph (phash Hamming edges ∪
+    # caption LSH-Jaccard edges) over ONE table — the 10% template phash
+    # cluster and the ~10% degenerate exact-caption clusters overlap, so
+    # connected components must collapse a multi-100k-member cross-modal
+    # component without a hot task.
+    xm_tbl = (
+        spark.read.parquet(docs_path)
+        .select(F.col("doc_id").alias("nid"), F.col("text").alias("caption"))
+        .join(phash_tbl, "nid")
+        .select("nid", "image_id", "caption", "phash")
+    )
+    cc_tel_xm: dict = {}
+    timed(
+        "crossmodal_clusters",
+        lambda: dedup.crossmodal_cluster_labels(
+            xm_tbl, telemetry=cc_tel_xm
+        ).count(),
+    )
+    print(f"  crossmodal telemetry: {cc_tel_xm}", file=sys.stderr)
+
+    # distributed LM training: one explode + vocabulary-bounded groupBy +
+    # bounded driver fold — per-row cost must stay flat with n.
+    from pii_detection_service_spark.operators import lmtrain
+
+    from pii_detection_service_spark.functions.quality import _FLOOR
+
+    timed(
+        "lm_train_char_bigram",
+        lambda: int(
+            (
+                lmtrain.train_char_bigram_lm(spark.read.parquet(docs_path))
+                != _FLOOR
+            ).sum()
+        ),
+    )
+
     # flagship score-only throughput (map-only Arrow pass)
     ips = None
     if have_images:

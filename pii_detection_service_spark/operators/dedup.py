@@ -739,7 +739,7 @@ PHASH_MAX_HAMMING = 3
 
 
 def phash_near_dup_candidates(
-    d: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+    d: DataFrame, max_hamming: int = PHASH_MAX_HAMMING, ordered: bool = True
 ) -> DataFrame:
     """Near-duplicate image candidate pairs from (image_id, phash) rows.
 
@@ -758,7 +758,12 @@ def phash_near_dup_candidates(
     The input plan is consumed 3x (band explode + both sides of the
     verify join); callers passing an EXPENSIVE plan (e.g. a decode
     pipeline) get it materialized once via localCheckpoint — phash rows
-    are 8 B + id, the sketch table a real pipeline persists anyway."""
+    are 8 B + id, the sketch table a real pipeline persists anyway.
+
+    ``ordered=False`` skips the output sort (a range-partition shuffle):
+    the clustering consumers feed these edges straight into connected
+    components, where edge order is irrelevant — only the oracled
+    report query pays for a deterministic presentation order."""
     ph = d.select(
         F.col("image_id").alias("doc_id"), "phash"
     ).localCheckpoint(eager=False)
@@ -781,7 +786,7 @@ def phash_near_dup_candidates(
     )
     a = ph.select(F.col("doc_id").alias("id_a"), F.col("phash").alias("ph_a"))
     b = ph.select(F.col("doc_id").alias("id_b"), F.col("phash").alias("ph_b"))
-    return (
+    out = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .select(
@@ -792,8 +797,8 @@ def phash_near_dup_candidates(
             .alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .orderBy("hamming", "id_a", "id_b")
     )
+    return out.orderBy("hamming", "id_a", "id_b") if ordered else out
 
 
 def phash_variant_bits(i: int) -> int:
@@ -862,7 +867,9 @@ def phash_cluster_labels(
         F.col("nid").alias("doc_id"), F.col("image_id"), "phash"
     ).localCheckpoint(eager=False)
     cand = phash_near_dup_candidates(
-        ph.select(F.col("doc_id").alias("image_id"), "phash"), max_hamming
+        ph.select(F.col("doc_id").alias("image_id"), "phash"),
+        max_hamming,
+        ordered=False,
     )
     # candidate ids are the numeric ids here (passed through the image_id
     # column of the candidate contract)
@@ -983,7 +990,9 @@ def crossmodal_cluster_labels(
         eager=False
     )
     icand = phash_near_dup_candidates(
-        rows.select(F.col("nid").alias("image_id"), "phash"), max_hamming
+        rows.select(F.col("nid").alias("image_id"), "phash"),
+        max_hamming,
+        ordered=False,
     )
     ie = icand.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     te = caption_lsh_edges(rows.select("nid", "caption"), tau)

@@ -62,6 +62,8 @@ def main():
         # round-4 scale-path queries
         "dedup_phash_candidates",
         "pipeline_scores_arpa_quantized",
+        "dedup_crossmodal_clusters",
+        "lm_train_bigram_counts",
     ]
     out = ["# PLANS — formatted physical plans for load-bearing queries", ""]
     for name in picks:
