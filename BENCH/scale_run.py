@@ -250,6 +250,29 @@ def main():
         ),
     )
 
+    # deterministic language-balanced downsampling: tiny vocabulary-keyed
+    # agg + broadcast join + map-only filter. Skew probe built in: 'en'
+    # holds 50% of rows (the hot-language case) — irrelevant to this
+    # operator by construction, since the per-group work is a broadcast
+    # threshold compare, never a per-group shuffle. Wall must track the
+    # scan linearly.
+    from pii_detection_service_spark.operators import sampling as smp
+
+    timed(
+        "sample_lang_balanced",
+        lambda: smp.balanced_sample(
+            spark.read.parquet(docs_path).select(
+                "doc_id",
+                F.expr(
+                    "if(doc_id % 2 = 0, 'en', "
+                    "concat('l', cast(doc_id % 19 as string)))"
+                ).alias("lang"),
+            ),
+            "lang",
+            cap=max(1000, n // 1000),
+        ).count(),
+    )
+
     # flagship score-only throughput (map-only Arrow pass)
     ips = None
     if have_images:

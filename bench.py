@@ -77,6 +77,8 @@ def main():
         "dedup_crossmodal_clusters",
         # distributed LM training (vocabulary-bounded count aggregation)
         "lm_train_bigram_counts",
+        # deterministic language-balanced downsampling (mixture shaping)
+        "sample_lang_balanced",
     ]
 
     # Warm the Python worker pool (each worker cold-imports pandas/numpy

@@ -33,6 +33,7 @@ from .operators import (
     multimodal,
     pipeline,
     relational,
+    sampling,
     similarity,
     textstats,
 )
@@ -923,6 +924,27 @@ ORACLES: dict[str, str | None] = {
                    AS inner_labels
         FROM lab
     """,
+    # deterministic language-balanced downsampling (operators/sampling.py):
+    # pure int64 quadratic-mixer threshold — the hash expression is
+    # generated from the same (a, c) round table the operator uses
+    # (sampling.hash_uniform_sql), so the twins cannot drift silently;
+    # the sum of sampled ids pins the exact row set, not just its size
+    "sample_lang_balanced": f"""
+        WITH c AS (
+          SELECT lang, count(*)::BIGINT AS n_total FROM documents
+          WHERE lang IS NOT NULL GROUP BY lang
+        ), s AS (
+          SELECT d.doc_id, d.lang, c.n_total
+          FROM documents d JOIN c USING (lang)
+          WHERE {sampling.hash_uniform_sql("d.doc_id")}
+                < CASE WHEN c.n_total <= 200 THEN {sampling.SAMPLE_M}
+                       ELSE ({sampling.SAMPLE_M}::BIGINT * 200) // c.n_total
+                  END
+        )
+        SELECT lang, max(n_total) AS n_total, count(*)::BIGINT AS n_sampled,
+               sum(doc_id)::BIGINT AS sum_sampled_ids
+        FROM s GROUP BY lang ORDER BY lang
+    """,
     "window_topn_per_lang": """
         SELECT lang, rn::INTEGER AS rn, doc_id, n_chars FROM (
           SELECT lang, doc_id, n_chars,
@@ -1290,7 +1312,7 @@ SPARK_BUILDERS = {
     "dedup_crossmodal_clusters": dedup.crossmodal_clusters,
     "lm_train_bigram_counts": lmtrain.lm_train_bigram_counts,
     "dedup_clusters": dedup.dedup_clusters,
-    "documents_render": relational.documents_render,
+    "sample_lang_balanced": sampling.sample_lang_balanced,
     "window_topn_per_lang": relational.window_topn_per_group,
     "dedup_simhash_candidates": dedup.simhash_candidates,
     "dedup_jaccard_candidates": dedup.jaccard_candidates,
@@ -1336,7 +1358,11 @@ SPARK_BUILDERS = {
     # dedup_jaccard_candidates and the crossmodal twin); dedup_simhash
     # (the bare sketch) rotated out for r4's lm_train_bigram_counts —
     # dedup_simhash_candidates re-derives the identical sketch inside its
-    # window slot, so the kernel stays exact-oracled ---
+    # window slot, so the kernel stays exact-oracled; documents_render
+    # rotated out for r4's sample_lang_balanced — it is a composite whose
+    # every constituent (F1/F3 top-N, A8 strip, F7 slice, F6 truncate)
+    # already holds its own window slot ---
+    "documents_render": relational.documents_render,
     "dedup_minhash_survivors": dedup.minhash_survivors,
     "dedup_simhash": dedup.simhash,
     "ann_lsh_buckets": similarity.lsh_buckets,
