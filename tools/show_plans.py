@@ -64,6 +64,7 @@ def main():
         "pipeline_scores_arpa_quantized",
         "dedup_crossmodal_clusters",
         "lm_train_bigram_counts",
+        "sample_lang_balanced",
     ]
     out = ["# PLANS — formatted physical plans for load-bearing queries", ""]
     for name in picks:
