@@ -5,9 +5,11 @@ Contracts:
   across runs and partitionings (the resume/oracle-portability contract);
 - groups at or under the cap pass through complete;
 - over-cap groups land within binomial wobble of the cap, and the
-  achieved rate tracks the asked rate (hash_uniform is a bijection on
-  the ring, so equidistribution is exact, not statistical);
-- mixture_sample is map-only (no shuffle in the plan).
+  achieved rate tracks the asked rate (the quadratic mixer is at most
+  2-to-1 per round and scatters sequential ids — the regression test
+  below is what rejected the linear LCG first cut);
+- mixture_sample is map-only (no shuffle in the plan) and
+  balanced_sample broadcasts the vocabulary-sized rate table.
 """
 
 from __future__ import annotations
@@ -129,3 +131,19 @@ def test_spark_hash_matches_python_twin(spark):
         ).collect()
     }
     assert got == {i: _py_hash(i) for i in ids}
+
+
+def test_balanced_sample_plan_broadcasts_rate_table(spark, tmp_path):
+    # the rate table must broadcast (it is vocabulary-sized); a sort-merge
+    # join here would shuffle the full corpus on lang — the hot-language
+    # skew case this operator must never create
+    import pyspark.sql.functions as F  # noqa: F811
+
+    p = str(tmp_path / "docs.parquet")
+    _docs(spark, 2000).write.parquet(p)
+    df = balanced_sample(
+        spark.read.parquet(p).select("doc_id", "lang"), "lang", 100
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
