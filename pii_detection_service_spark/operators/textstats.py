@@ -334,6 +334,94 @@ def _gram_expr(n: int) -> str:
     return f"if(size({ws}) < {n}, array(), {core})"
 
 
+# Remaining published Gopher quality rules (Rae et al. 2021, appendix A1.1,
+# as implemented publicly in RedPajama-Data/Dolma): word count bounds, mean
+# word length bounds, symbol-to-word ratio (# and ...), bullet-started /
+# ellipsis-ended line fractions, fraction of words with an alphabetic
+# character, and the minimum stop-word count. Together with the repetition
+# rules above this is the full keep/drop gate a 100 TB text filter runs.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_WORD_RATIO = 0.10
+GOPHER_MAX_BULLET_LINE_FRAC = 0.90
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.30
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.80
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPWORDS = 2
+
+# The synthetic corpus is single-line, single-space text, which would leave
+# the line-based rules degenerate (every doc = one bullet-free line). The
+# query therefore derives a multi-line variant DETERMINISTICALLY inside the
+# plan — ' table ' opens a bullet line, ' slow ' closes the previous line
+# with an ellipsis, ' hash ' becomes a '#' symbol — with the identical
+# replace chain in the DuckDB oracle, so the rules are exercised on varied
+# real inputs (bullet lines, ellipsis lines, non-alpha tokens, # symbols)
+# while both engines see byte-identical text. Replacements are sequential
+# non-overlapping left-to-right in both engines.
+_GOPHER_TEXT = (
+    "replace(replace(replace(text, ' table ', concat(chr(10), '- table ')), "
+    "' slow ', concat('...', chr(10), 'slow ')), ' hash ', ' # ')"
+)
+_STOPWORD_SET = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+
+
+def gopher_quality(spark, sf_dir) -> DataFrame:
+    """Full Gopher quality rules (minus the repetition family, which
+    gopher_repetition carries): all metrics are rational (int/int or
+    exact-multiple-of-3/int divisions → bit-identical IEEE doubles across
+    engines), so outputs stay unrounded. 100% JVM-side map-only
+    expressions; rows are independent → the plan is a projected scan at
+    any scale."""
+    d = table(spark, sf_dir, "documents").withColumn("gt_", F.expr(_GOPHER_TEXT))
+    d = (
+        d.withColumn("ls_", F.split("gt_", r"\n"))
+        .withColumn("ws_", F.split("gt_", r"[ \n]"))
+    )
+    n_words = F.size("ws_")
+    n_lines = F.size("ls_")
+    mean_wlen = F.expr("aggregate(ws_, 0, (a, w) -> a + length(w))") / n_words
+    n_hash = F.length("gt_") - F.length(F.expr("replace(gt_, '#', '')"))
+    n_ellipsis = (
+        F.length("gt_") - F.length(F.expr("replace(gt_, '...', '')"))
+    ) / 3
+    sym_ratio = (n_hash + n_ellipsis) / n_words
+    bullet_frac = (
+        F.size(
+            F.expr("filter(ls_, l -> l like '- %' or l like '• %' or l like '* %')")
+        )
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.expr("filter(ls_, l -> l like '%...' or l like '%…')")) / n_lines
+    )
+    alpha_frac = F.size(F.expr("filter(ws_, w -> w rlike '[A-Za-z]')")) / n_words
+    stop_hits = F.size(F.expr(f"filter(ws_, w -> w in ({_STOPWORD_SET}))"))
+    keep = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_wlen >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_wlen <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (sym_ratio <= GOPHER_MAX_SYMBOL_WORD_RATIO)
+        & (bullet_frac <= GOPHER_MAX_BULLET_LINE_FRAC)
+        & (ellipsis_frac <= GOPHER_MAX_ELLIPSIS_LINE_FRAC)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOPWORDS)
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        sym_ratio.alias("sym_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep_gopher"),
+    )
+
+
 def gopher_repetition(spark, sf_dir) -> DataFrame:
     """Gopher repetition rules: fraction of characters covered by the most
     frequent word 2-/3-gram, and the keep decision at the published

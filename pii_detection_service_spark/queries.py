@@ -736,6 +736,58 @@ FROM f
 """
 
 
+def _gopher_full_sql() -> str:
+    """DuckDB twin of textstats.gopher_quality: the same deterministic
+    multi-line derivation (replace chain mirrored literally), then the
+    published Gopher A1.1 rules. All divisions are int/int or
+    exact-multiple-of-3/int → identical IEEE doubles, so nothing rounds."""
+    from .operators import textstats as _ts
+
+    stopset = ", ".join(f"'{w}'" for w in _ts.GOPHER_STOPWORDS)
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         replace(replace(replace(text, ' table ', chr(10) || '- table '),
+                 ' slow ', '...' || chr(10) || 'slow '),
+                 ' hash ', ' # ') AS t
+  FROM documents),
+m AS (
+  SELECT doc_id, t,
+         string_split(t, chr(10)) AS ls,
+         string_split_regex(t, '[ \n]') AS ws
+  FROM g),
+r AS (
+  SELECT doc_id,
+         len(ws)::INTEGER AS n_words,
+         list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws)
+           AS mean_word_len,
+         ((length(t) - length(replace(t, '#', '')))
+          + (length(t) - length(replace(t, '...', ''))) / 3) / len(ws)
+           AS sym_word_ratio,
+         len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '• %'
+                                  OR l LIKE '* %'))::DOUBLE / len(ls)
+           AS bullet_line_frac,
+         len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…'))::DOUBLE
+           / len(ls) AS ellipsis_line_frac,
+         len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+           / len(ws) AS alpha_word_frac,
+         len(list_filter(ws, w -> w IN ({stopset})))::INTEGER AS stop_hits
+  FROM m)
+SELECT doc_id, n_words, mean_word_len, sym_word_ratio, bullet_line_frac,
+       ellipsis_line_frac, alpha_word_frac, stop_hits,
+       n_words >= {_ts.GOPHER_MIN_WORDS}
+       AND n_words <= {_ts.GOPHER_MAX_WORDS}
+       AND mean_word_len >= {_ts.GOPHER_MIN_MEAN_WORD_LEN!r}
+       AND mean_word_len <= {_ts.GOPHER_MAX_MEAN_WORD_LEN!r}
+       AND sym_word_ratio <= {_ts.GOPHER_MAX_SYMBOL_WORD_RATIO!r}
+       AND bullet_line_frac <= {_ts.GOPHER_MAX_BULLET_LINE_FRAC!r}
+       AND ellipsis_line_frac <= {_ts.GOPHER_MAX_ELLIPSIS_LINE_FRAC!r}
+       AND alpha_word_frac >= {_ts.GOPHER_MIN_ALPHA_WORD_FRAC!r}
+       AND stop_hits >= {_ts.GOPHER_MIN_STOPWORDS} AS keep_gopher
+FROM r
+"""
+
+
 _BANDS_UNION = " UNION ALL ".join(
     f"SELECT doc_id, {band} AS band, "
     f"mh{2 * band}::VARCHAR || '_' || mh{2 * band + 1}::VARCHAR AS band_key FROM sig"
@@ -1269,6 +1321,11 @@ ORACLES: dict[str, str | None] = {
         FROM c, tot
     """,
     "quality_gopher_repetition": _gopher_sql(),
+    # full Gopher quality rules over the deterministically-derived
+    # multi-line text (same replace chain as textstats._GOPHER_TEXT, so
+    # both engines see byte-identical input); every metric is a rational
+    # division → unrounded parity
+    "quality_gopher_full": _gopher_full_sql(),
     # --- UDF-backed pipeline queries: rows-only driver check ---
     "pipeline_score_documents": None,
     "pipeline_scores_quantized": _kernel_scores_sql(),
@@ -1294,7 +1351,6 @@ SPARK_BUILDERS = {
     "f7_slice_inner": relational.slice_inner,
     "s8_span_export": relational.span_export,
     "g3_group_metrics": relational.group_metrics,
-    "g1_fbeta_drift": relational.fbeta_drift,
     "validated_coalesce": relational.validated_coalesce,
     "set_ops_sources": relational.set_ops_sources,
     "lineitem_pricing": relational.lineitem_pricing,
@@ -1311,6 +1367,7 @@ SPARK_BUILDERS = {
     "dedup_phash_clusters": dedup.phash_clusters,
     "dedup_crossmodal_clusters": dedup.crossmodal_clusters,
     "lm_train_bigram_counts": lmtrain.lm_train_bigram_counts,
+    "quality_gopher_full": textstats.gopher_quality,
     "dedup_clusters": dedup.dedup_clusters,
     "sample_lang_balanced": sampling.sample_lang_balanced,
     "window_topn_per_lang": relational.window_topn_per_group,
@@ -1361,7 +1418,11 @@ SPARK_BUILDERS = {
     # window slot, so the kernel stays exact-oracled; documents_render
     # rotated out for r4's sample_lang_balanced — it is a composite whose
     # every constituent (F1/F3 top-N, A8 strip, F7 slice, F6 truncate)
-    # already holds its own window slot ---
+    # already holds its own window slot; g1_fbeta_drift rotated out for
+    # r5's quality_gopher_full — g1_fbeta_arrays (still in the window)
+    # computes the same micro-F5 + drift predicate over exploded label
+    # arrays, i.e. the drift query's semantics are a projection of it ---
+    "g1_fbeta_drift": relational.fbeta_drift,
     "documents_render": relational.documents_render,
     "dedup_minhash_survivors": dedup.minhash_survivors,
     "dedup_simhash": dedup.simhash,

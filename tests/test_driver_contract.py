@@ -110,3 +110,75 @@ def test_gopher_repetition_edge_cases_and_ground_truth(spark):
         return min(1.0, mx * len(g) / len(text))
 
     assert got[4] == (ref(docs[4][1], 2), ref(docs[4][1], 3))
+
+
+def test_gopher_full_rules_golden(spark, tmp_path):
+    """Full Gopher A1.1 rules (Rae et al. 2021): planted docs each trip one
+    specific rule, a clean ≥50-word doc passes all, and every metric
+    matches an independent pure-Python recompute over the SAME derived
+    multi-line text the query builds (bullets via ' table ', ellipses via
+    ' slow ', '#' via ' hash ')."""
+    import re
+
+    from pii_detection_service_spark.operators import textstats as ts
+
+    good = ("the quick brown fox jumps over the lazy dog near river stone "
+            "while birds sing songs about warm summer days under blue sky "
+            "and children play games with small round balls on green grass "
+            "before dinner time when family gathers around wooden benches "
+            "sharing stories that make everyone laugh with joy tonight")
+    assert len(good.split()) >= 50
+    docs = [
+        (0, good),                                        # passes all rules
+        (1, "the cat and the dog"),                       # too few words
+        (2, " ".join(["the", "and"] + ["supercalifragilistic"] * 60)),  # mean len > 10
+        (3, good + " " + " ".join(["hash"] * 40)),        # symbol ratio > 0.1
+        (4, "start " + " table x slow y" * 40 + " the cat and the end"),  # bullet lines
+        (5, " ".join(["cat", "dog", "fox", "owl"] * 15)), # < 2 stop words
+        (6, " ".join(["the", "and"] + ["123"] * 60)),     # alpha frac < 0.8
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    d.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in ts.gopher_quality(spark, str(tmp_path)).collect()
+    }
+
+    def ref(text):
+        t = (
+            text.replace(" table ", "\n- table ")
+            .replace(" slow ", "...\nslow ")
+            .replace(" hash ", " # ")
+        )
+        ls = t.split("\n")
+        ws = re.split("[ \n]", t)
+        n_w, n_l = len(ws), len(ls)
+        mean_wlen = sum(len(w) for w in ws) / n_w
+        sym = (t.count("#") + t.count("...")) / n_w
+        bullets = sum(l.startswith(("- ", "• ", "* ")) for l in ls) / n_l
+        ell = sum(l.endswith(("...", "…")) for l in ls) / n_l
+        alpha = sum(bool(re.search("[A-Za-z]", w)) for w in ws) / n_w
+        stops = sum(w in ts.GOPHER_STOPWORDS for w in ws)
+        keep = (
+            ts.GOPHER_MIN_WORDS <= n_w <= ts.GOPHER_MAX_WORDS
+            and ts.GOPHER_MIN_MEAN_WORD_LEN <= mean_wlen <= ts.GOPHER_MAX_MEAN_WORD_LEN
+            and sym <= ts.GOPHER_MAX_SYMBOL_WORD_RATIO
+            and bullets <= ts.GOPHER_MAX_BULLET_LINE_FRAC
+            and ell <= ts.GOPHER_MAX_ELLIPSIS_LINE_FRAC
+            and alpha >= ts.GOPHER_MIN_ALPHA_WORD_FRAC
+            and stops >= ts.GOPHER_MIN_STOPWORDS
+        )
+        return (n_w, mean_wlen, sym, bullets, ell, alpha, stops, keep)
+
+    for doc_id, text in docs:
+        g = got[doc_id]
+        assert (
+            g["n_words"], g["mean_word_len"], g["sym_word_ratio"],
+            g["bullet_line_frac"], g["ellipsis_line_frac"],
+            g["alpha_word_frac"], g["stop_hits"], g["keep_gopher"],
+        ) == ref(text), f"doc {doc_id}"
+    assert got[0]["keep_gopher"] is True
+    for i in range(1, 7):
+        assert got[i]["keep_gopher"] is False, f"doc {i} should drop"
+    # note: str.count('...') counts non-overlapping occurrences left-to-
+    # right, the same rule as the replace-length trick in both engines
