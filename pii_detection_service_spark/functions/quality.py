@@ -128,7 +128,11 @@ def perplexity(text: str) -> float:
     return float(math.exp(-_LM_TBL[ids].sum() / len(ids)))
 
 
-def lang_and_ppl(text: str, lm_tbl: np.ndarray | None = None) -> tuple[str, float]:
+def lang_and_ppl(
+    text: str,
+    lm_tbl: np.ndarray | None = None,
+    langid_model: tuple[list[str], np.ndarray] | None = None,
+) -> tuple[str, float]:
     """Fused langid + perplexity sharing ONE text lowering and ONE bigram
     encode (the two kernels account for most of the non-tagger scoring
     cost). With the default table, bit-identical to
@@ -140,8 +144,15 @@ def lang_and_ppl(text: str, lm_tbl: np.ndarray | None = None) -> tuple[str, floa
     ``lm_tbl`` swaps the perplexity model for a loaded ARPA table
     (load_arpa_char_bigram → broadcast seam) without touching the langid
     profiles — the production path where the LM is a real KenLM artifact
-    while langid stays the built-in profile set."""
+    while langid stays the built-in profile set. ``langid_model`` is the
+    symmetric seam for langid: a (langs, (_NC², n_langs) table) pair from
+    lmtrain.train_langid_tables / broadcast_trained_langid swaps the
+    per-language profile tables; the 'und' rules (empty / <2 chars /
+    no-alpha) and the argmax tie-break (first max → lexicographically
+    smallest code, langs being sorted) are model-independent and stay
+    identical."""
     tbl = _LM_TBL if lm_tbl is None else lm_tbl
+    langs, lang_tbl = (_LANGS, _LANG_TBL) if langid_model is None else langid_model
     t = text.lower()
     if not t:
         return "und", 1e9
@@ -149,8 +160,8 @@ def lang_and_ppl(text: str, lm_tbl: np.ndarray | None = None) -> tuple[str, floa
     ppl = float(math.exp(-tbl[ids_full].sum() / len(ids_full)))
     if len(t) < 2 or not any(c.isalpha() for c in t):
         return "und", ppl
-    sums = _LANG_TBL[ids_full[1:-1]].sum(axis=0)
-    return _LANGS[int(np.argmax(sums))], ppl
+    sums = lang_tbl[ids_full[1:-1]].sum(axis=0)
+    return langs[int(np.argmax(sums))], ppl
 
 
 # --- ARPA model loading (the KenLM interchange format) ----------------------

@@ -122,3 +122,123 @@ def broadcast_trained_lm(spark, d: DataFrame, text_col: str = "text"):
     artifacts.broadcast_arpa_lm, pluggable into every lm_bc seam
     (stage.score, pipeline.score_documents, udfs.score_batch)."""
     return spark.sparkContext.broadcast(train_char_bigram_lm(d, text_col))
+
+
+# --- trained langid ----------------------------------------------------------
+# The perplexity model has had a full production-swap story since r4 (ARPA
+# artifact / corpus-trained table → lm_bc); the langid char-bigram profiles
+# stayed builtin constants. This closes the asymmetry with the SAME recipe:
+# estimate per-language bigram tables from a LABELED slice with one
+# vocabulary-bounded aggregation, broadcast via langid_bc through every
+# scoring seam. The key space is n_langs × 66,049 ids — still a model
+# constant, never corpus-sized, so the plan is unchanged at 100 TB.
+
+# Languages the trainer learns from (the keep/drop gate's allowed set —
+# rows labeled anything else are not trusted training data).
+LANGID_TRAIN_LANGS = ("de", "en", "es", "fr")
+_LANG_IN = ", ".join(f"'{l}'" for l in LANGID_TRAIN_LANGS)
+
+
+def langid_bigram_count_table(
+    d: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """(lang, bigram_id, cnt, lp) — per-language clipped-bigram counts from
+    the labeled slice, plus their add-one-smoothed natural-log probability
+    under the builtin profile semantics (quality._bigram_logprobs lifted to
+    a corpus: per-language total and V = distinct bigrams + 1). lp is
+    quantized to 6 decimals for engine portability; train_langid_tables
+    recomputes the unquantized value driver-side."""
+    ids = (
+        d.select(F.col(lang_col).alias("lang"), F.col(text_col).alias("text"))
+        .where(F.expr(f"lang in ({_LANG_IN})"))
+        .select("lang", F.expr(_WRAPPED).alias("t"))
+        .select("lang", F.expr(_CLIPPED_CS).alias("cs"), "t")
+        .select("lang", F.explode(F.expr(_BIGRAM_IDS)).alias("bigram_id"))
+    )
+    counts = ids.groupBy("lang", "bigram_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = counts.groupBy("lang").agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("v")
+    )
+    # per-language totals: ≤ n_langs rows → broadcast join back
+    return counts.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "bigram_id",
+        "cnt",
+        F.round(
+            F.log((F.col("cnt") + 1) / (F.col("total") + F.col("v") + 1)), 6
+        ).alias("lp"),
+    )
+
+
+def langid_train_bigram_counts(spark, sf_dir) -> DataFrame:
+    """Registered query: the langid trainer's per-language count/probability
+    table over the labeled documents slice — the driver-checked half of
+    langid training (counts integer-exact, lp quantized; the driver-side
+    table assembly is a bounded fold over this output, pinned by pytest
+    parity against a pure-Python trainer)."""
+    return langid_bigram_count_table(table(spark, sf_dir, "documents"))
+
+
+def train_langid_tables(
+    d: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> tuple[list[str], np.ndarray]:
+    """Labeled corpus → (langs, (_NC², n_langs) natural-log table), directly
+    consumable by quality.lang_and_ppl's langid_model parameter and every
+    langid_bc seam. The collect is bounded by n_langs × 66,049 ids."""
+    rows = (
+        langid_bigram_count_table(d, text_col, lang_col)
+        .select("lang", "bigram_id", "cnt")
+        .collect()
+    )
+    langs = sorted({r["lang"] for r in rows})
+    totals = {l: 0 for l in langs}
+    vs = {l: 0 for l in langs}
+    for r in rows:
+        totals[r["lang"]] += r["cnt"]
+        vs[r["lang"]] += 1
+    tbl = np.full((_NC * _NC, len(langs)), _FLOOR, dtype=np.float64)
+    for r in rows:
+        l = r["lang"]
+        tbl[r["bigram_id"], langs.index(l)] = math.log(
+            (r["cnt"] + 1) / (totals[l] + vs[l] + 1)
+        )
+    return langs, tbl
+
+
+def train_langid_tables_ref(pairs) -> tuple[list[str], np.ndarray]:
+    """Pure-Python reference trainer over (lang, text) pairs — the golden
+    twin pytest pins train_langid_tables against, bit-for-bit."""
+    by_lang: dict[str, dict[int, int]] = {}
+    for lang, x in pairs:
+        if lang not in LANGID_TRAIN_LANGS:
+            continue
+        t = "^" + x.lower() + "$"
+        c = np.minimum(
+            np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32), 256
+        ).astype(np.int64)
+        counts = by_lang.setdefault(lang, {})
+        for bid in (c[:-1] * _NC + c[1:]).tolist():
+            counts[bid] = counts.get(bid, 0) + 1
+    langs = sorted(by_lang)
+    tbl = np.full((_NC * _NC, len(langs)), _FLOOR, dtype=np.float64)
+    for li, lang in enumerate(langs):
+        counts = by_lang[lang]
+        total = sum(counts.values())
+        v = len(counts) + 1
+        for bid, c in counts.items():
+            tbl[bid, li] = math.log((c + 1) / (total + v))
+    return langs, tbl
+
+
+def broadcast_trained_langid(
+    spark, d: DataFrame, text_col: str = "text", lang_col: str = "lang"
+):
+    """Train per-language profiles on a labeled corpus and broadcast
+    (langs, table) — pluggable into every langid_bc seam (stage.score,
+    pipeline.score_documents, udfs.score_batch), the langid twin of
+    broadcast_trained_lm."""
+    return spark.sparkContext.broadcast(
+        train_langid_tables(d, text_col, lang_col)
+    )

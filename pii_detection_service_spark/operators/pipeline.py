@@ -34,10 +34,12 @@ def _parse_byte_string(raw: str, default: int = 134217728) -> int:
     return int(m.group(1)) * _BYTE_UNITS[m.group(2)] if m else default
 
 
-def score_documents(spark, sf_dir, lm_bc=None) -> DataFrame:
+def score_documents(spark, sf_dir, lm_bc=None, langid_bc=None) -> DataFrame:
     """The flagship stage's scoring pass with documents.text as captions.
     ``lm_bc`` optionally swaps the perplexity model for a broadcast ARPA
-    table (the production-artifact seam)."""
+    table (the production-artifact seam); ``langid_bc`` swaps the langid
+    profiles for corpus-trained per-language tables
+    (lmtrain.broadcast_trained_langid)."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").alias("caption")
     )
@@ -57,7 +59,7 @@ def score_documents(spark, sf_dir, lm_bc=None) -> DataFrame:
     if scan_bytes < par * max_split:
         d = d.repartition(par)
     scored = d.mapInPandas(
-        udfs.make_score_iter(["doc_id", "caption"], lm_bc=lm_bc),
+        udfs.make_score_iter(["doc_id", "caption"], lm_bc=lm_bc, langid_bc=langid_bc),
         schema=f"doc_id long, caption string, {udfs.SCORE_DDL}",
     )
     return scored.select(

@@ -45,7 +45,7 @@ DEFAULT_BUCKETS = 64
 SALT_FACTOR = 8
 
 
-def score(df: DataFrame, lm_bc=None, gaz_bc=None) -> DataFrame:
+def score(df: DataFrame, lm_bc=None, gaz_bc=None, langid_bc=None) -> DataFrame:
     """Map-only fused scoring pass (langid/ppl/keep/tag/scrub).
 
     Scalar pandas_udf, NOT mapInPandas: only the caption column is
@@ -55,9 +55,12 @@ def score(df: DataFrame, lm_bc=None, gaz_bc=None) -> DataFrame:
     between shipping captions and shipping the whole table through
     Python. ``lm_bc`` (artifacts.broadcast_arpa_lm) swaps the perplexity
     model for a production ARPA artifact; ``gaz_bc``
-    (artifacts.broadcast_gazetteer) swaps the given-name gazetteer."""
+    (artifacts.broadcast_gazetteer) swaps the given-name gazetteer;
+    ``langid_bc`` (lmtrain.broadcast_trained_langid) swaps the langid
+    profiles for corpus-trained per-language tables."""
     scored = df.withColumn(
-        "_scored", udfs.make_score_struct_udf(lm_bc, gaz_bc)(F.col("caption"))
+        "_scored",
+        udfs.make_score_struct_udf(lm_bc, gaz_bc, langid_bc)(F.col("caption")),
     )
     return scored.select(*df.columns, "_scored.*")
 

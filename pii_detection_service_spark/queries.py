@@ -1320,6 +1320,28 @@ ORACLES: dict[str, str | None] = {
                round(ln((cnt + 1) / (total + v + 1.0)), 6) AS lp
         FROM c, tot
     """,
+    # trained langid: per-language clipped-bigram counts from the labeled
+    # slice (mirrors operators/lmtrain.langid_bigram_count_table expression-
+    # for-expression; counts pure integers, lp quantized to 6 decimals)
+    "langid_train_bigram_counts": f"""
+        WITH t AS (SELECT lang, '^' || lower(text) || '$' AS t
+                   FROM documents
+                   WHERE lang IN ({", ".join(f"'{l}'" for l in lmtrain.LANGID_TRAIN_LANGS)})),
+        ids AS (
+          SELECT lang, unnest(list_transform(range(1, length(t)),
+                 i -> (least(ascii(t[i::INTEGER]), 256) * 257
+                     + least(ascii(t[(i + 1)::INTEGER]), 256))::BIGINT))
+                 AS bigram_id
+          FROM t
+        ),
+        c AS (SELECT lang, bigram_id, count(*)::BIGINT AS cnt
+              FROM ids GROUP BY lang, bigram_id),
+        tot AS (SELECT lang, sum(cnt) AS total, count(*) AS v
+                FROM c GROUP BY lang)
+        SELECT c.lang, bigram_id, cnt,
+               round(ln((cnt + 1) / (total + v + 1.0)), 6) AS lp
+        FROM c JOIN tot USING (lang)
+    """,
     "quality_gopher_repetition": _gopher_sql(),
     # full Gopher quality rules over the deterministically-derived
     # multi-line text (same replace chain as textstats._GOPHER_TEXT, so
@@ -1367,6 +1389,7 @@ SPARK_BUILDERS = {
     "dedup_phash_clusters": dedup.phash_clusters,
     "dedup_crossmodal_clusters": dedup.crossmodal_clusters,
     "lm_train_bigram_counts": lmtrain.lm_train_bigram_counts,
+    "langid_train_bigram_counts": lmtrain.langid_train_bigram_counts,
     "quality_gopher_full": textstats.gopher_quality,
     "dedup_clusters": dedup.dedup_clusters,
     "sample_lang_balanced": sampling.sample_lang_balanced,
@@ -1380,7 +1403,6 @@ SPARK_BUILDERS = {
     "ann_search_ivf": similarity.ann_ivf_search,
     "ann_search_ivf_learned": similarity.ann_ivf_learned,
     "a6_reconstruct": textstats.reconstruct_text,
-    "a7_clean_tokens": textstats.clean_tokens,
     "g1_fbeta_arrays": textstats.fbeta_arrays,
     "join_region_rollup": joins.region_rollup,
     "join_shipping_priority": joins.shipping_priority,
@@ -1421,8 +1443,12 @@ SPARK_BUILDERS = {
     # already holds its own window slot; g1_fbeta_drift rotated out for
     # r5's quality_gopher_full — g1_fbeta_arrays (still in the window)
     # computes the same micro-F5 + drift predicate over exploded label
-    # arrays, i.e. the drift query's semantics are a projection of it ---
+    # arrays, i.e. the drift query's semantics are a projection of it;
+    # a7_clean_tokens rotated out for r5's langid_train_bigram_counts —
+    # a6_reconstruct (still in the window) derives the identical _SUBWORDS
+    # array and pins the ▁-strip semantics through full reconstruction ---
     "g1_fbeta_drift": relational.fbeta_drift,
+    "a7_clean_tokens": textstats.clean_tokens,
     "documents_render": relational.documents_render,
     "dedup_minhash_survivors": dedup.minhash_survivors,
     "dedup_simhash": dedup.simhash,

@@ -32,25 +32,29 @@ SCORE_DDL = (
 )
 
 
-def score_batch(captions: pd.Series, lm_tbl=None, gazetteer=None) -> pd.DataFrame:
+def score_batch(
+    captions: pd.Series, lm_tbl=None, gazetteer=None, langid_model=None
+) -> pd.DataFrame:
     """One fused scoring pass over a caption batch: langid + perplexity +
     keep/drop heuristics + BIO PII tagging + scrub (SURVEY.md §2.9 UDF
     batch 1+2 fused — one Arrow hop instead of two). ``lm_tbl`` swaps the
     perplexity model for a loaded ARPA table (artifacts.broadcast_arpa_lm
     seam); ``gazetteer`` swaps the given-name set for a large broadcast
-    artifact (artifacts.broadcast_gazetteer); None keeps the builtins."""
+    artifact (artifacts.broadcast_gazetteer); ``langid_model`` swaps the
+    langid profiles for corpus-trained per-language tables
+    (lmtrain.broadcast_trained_langid seam); None keeps the builtins."""
     prev_gaz = tagger.set_gazetteer(gazetteer) if gazetteer is not None else None
     try:
-        return _score_batch_inner(captions, lm_tbl)
+        return _score_batch_inner(captions, lm_tbl, langid_model)
     finally:
         if prev_gaz is not None:
             tagger.set_gazetteer(prev_gaz)
 
 
-def _score_batch_inner(captions: pd.Series, lm_tbl) -> pd.DataFrame:
+def _score_batch_inner(captions: pd.Series, lm_tbl, langid_model=None) -> pd.DataFrame:
     caps = captions.fillna("")
     lp = caps.map(  # fused: one lower + one bigram encode
-        lambda t: quality.lang_and_ppl(t, lm_tbl)
+        lambda t: quality.lang_and_ppl(t, lm_tbl, langid_model)
     )
     langs = pd.Series([x[0] for x in lp], index=caps.index)
     ppls = pd.Series([x[1] for x in lp], index=caps.index)
@@ -80,10 +84,12 @@ def make_score_iter(
     caption_col: str = "caption",
     lm_bc=None,
     gaz_bc=None,
+    langid_bc=None,
 ):
     """mapInPandas function: passthrough + scored columns. ``lm_bc`` /
-    ``gaz_bc`` are optional Broadcasts of a loaded ARPA LM table and a
-    large gazetteer (resolved to their values once per batch iterator,
+    ``gaz_bc`` / ``langid_bc`` are optional Broadcasts of a loaded ARPA LM
+    table, a large gazetteer, and a trained (langs, table) langid model
+    (resolved to their values once per batch iterator,
     i.e. once per task, not per row).
 
     NOTE: this ships EVERY column (including image bytes) through Arrow to
@@ -97,26 +103,28 @@ def make_score_iter(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tbl = lm_bc.value if lm_bc is not None else None
         gaz = gaz_bc.value if gaz_bc is not None else None
+        lid = langid_bc.value if langid_bc is not None else None
         for pdf in batches:
-            scored = score_batch(pdf[caption_col], tbl, gaz)
+            scored = score_batch(pdf[caption_col], tbl, gaz, lid)
             yield pd.concat([pdf[passthrough_cols], scored], axis=1)
 
     return fn
 
 
-def make_score_struct_udf(lm_bc=None, gaz_bc=None):
+def make_score_struct_udf(lm_bc=None, gaz_bc=None, langid_bc=None):
     """Scalar pandas_udf: caption in → struct of scored columns out. Only
     the caption column crosses the Arrow boundary; bytes/phash/etc. stay
     JVM-side. Same kernel (score_batch), bit-identical outputs; ``lm_bc``
-    / ``gaz_bc`` optionally swap the perplexity model / gazetteer for
-    broadcast artifacts."""
+    / ``gaz_bc`` / ``langid_bc`` optionally swap the perplexity model /
+    gazetteer / langid profiles for broadcast artifacts."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(f"struct<{SCORE_DDL}>")
     def score_struct(captions: pd.Series) -> pd.DataFrame:
         tbl = lm_bc.value if lm_bc is not None else None
         gaz = gaz_bc.value if gaz_bc is not None else None
-        return score_batch(captions, tbl, gaz)
+        lid = langid_bc.value if langid_bc is not None else None
+        return score_batch(captions, tbl, gaz, lid)
 
     return score_struct
 

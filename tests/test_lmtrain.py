@@ -85,3 +85,71 @@ def test_count_table_totals_are_corpus_bigram_count(spark):
         for r in d.select("text").collect()
     )
     assert total == want
+
+
+# --- trained langid (the langid_bc seam, mirroring lm_bc) --------------------
+
+
+def test_trained_langid_tables_match_pure_python(spark):
+    """Spark-trained per-language tables == driver-trained tables across
+    every (cell, language), bit-for-bit, including which languages exist."""
+    d = relational.table(spark, SF, "documents")
+    langs, got = lmtrain.train_langid_tables(d)
+    pairs = [(r["lang"], r["text"]) for r in d.select("lang", "text").collect()]
+    want_langs, want = lmtrain.train_langid_tables_ref(pairs)
+    assert langs == want_langs
+    assert got.shape == want.shape
+    assert np.array_equal(got, want)
+
+
+def test_trained_langid_excludes_unlabeled_rows(spark):
+    """Rows whose lang is outside LANGID_TRAIN_LANGS (e.g. 'und', 'xx')
+    contribute nothing — the trainer learns only from the trusted slice."""
+    rows = [("en", "the cat sat"), ("und", "zzzz qqqq"), ("xx", "jjjj")]
+    d = spark.createDataFrame(rows, "lang string, text string")
+    langs, tbl = lmtrain.train_langid_tables(d)
+    assert langs == ["en"]
+    _, want = lmtrain.train_langid_tables_ref([("en", "the cat sat")])
+    assert np.array_equal(tbl, want)
+
+
+def test_trained_langid_scores_through_pipeline_seam(spark):
+    """broadcast_trained_langid plugs into pipeline.score_documents: the
+    lang column equals a driver-side argmax recompute under the trained
+    tables (ties → first max → smallest code, langs sorted), the 'und'
+    rules stay model-independent, and ppl is untouched by the swap."""
+    d = relational.table(spark, SF, "documents")
+    langs, tbl = lmtrain.train_langid_tables(d)
+    bc = lmtrain.broadcast_trained_langid(spark, d)
+    trained = {
+        r["doc_id"]: (r["lang"], r["ppl"])
+        for r in pipeline.score_documents(spark, SF, langid_bc=bc).collect()
+    }
+    builtin = {
+        r["doc_id"]: (r["lang"], r["ppl"])
+        for r in pipeline.score_documents(spark, SF).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in d.collect()}
+    for doc_id, text in texts.items():
+        want_lang, _ = quality.lang_and_ppl(text, None, (langs, tbl))
+        assert trained[doc_id][0] == want_lang, doc_id
+        assert trained[doc_id][1] == builtin[doc_id][1], doc_id  # ppl unchanged
+
+
+def test_trained_langid_separates_planted_languages(spark):
+    """Train on a tiny labeled slice, score held-out text of each language:
+    the trained model labels each correctly — the reason the seam exists."""
+    rows = [
+        ("en", "the quick brown fox jumps over the lazy dog and the bird"),
+        ("en", "this is a photo of a person with a thing on the table"),
+        ("fr", "le renard brun saute par dessus le chien paresseux"),
+        ("fr", "ceci est une photo d'une personne avec une chose sur la table"),
+    ]
+    d = spark.createDataFrame(rows, "lang string, text string")
+    langs, tbl = lmtrain.train_langid_tables(d)
+    assert langs == ["en", "fr"]
+    model = (langs, tbl)
+    assert quality.lang_and_ppl("the dog jumps over the fox", None, model)[0] == "en"
+    assert quality.lang_and_ppl("le chien saute sur une table", None, model)[0] == "fr"
+    assert quality.lang_and_ppl("", None, model)[0] == "und"
+    assert quality.lang_and_ppl("12345 678", None, model)[0] == "und"
