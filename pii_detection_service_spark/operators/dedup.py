@@ -155,12 +155,56 @@ def minhash_survivors(spark, sf_dir) -> DataFrame:
     )
 
 
+# --- durable CC checkpoint state ---------------------------------------------
+# CC is the most expensive query family at every scale notch (minutes at
+# 5-20M rows, hours at 100 TB) and was the only multi-minute path with no
+# resume story: localCheckpoint truncates lineage but dies with the driver.
+# These helpers persist per-round state (labels for propagation, the edge
+# set for star contraction) as parquet "rounds" plus a tiny Spark-written
+# state table carrying (round, checksum). Ordering invariant: the state
+# table for round k commits strictly AFTER round k's data parquet, so the
+# existence of a state row implies its data committed — a crash anywhere
+# leaves the newest VALID state pointing at a fully-written round, and the
+# torn round directory is simply overwritten on re-run. Everything goes
+# through Spark writes/reads (Hadoop FS), so the same paths work on HDFS /
+# object stores, not just the local FS.
+
+
+def _cc_load_latest(spark, checkpoint_dir: str, tag: str):
+    """Newest committed round for ``tag``: (round, [checksum strings],
+    data DataFrame) or None. Discovery reads the state tables by glob (no
+    directory-listing API — works on any Hadoop FS)."""
+    try:
+        states = spark.read.parquet(f"{checkpoint_dir}/{tag}_state_*")
+        rows = states.collect()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    best = max(rows, key=lambda r: r["round"])
+    df = spark.read.parquet(f"{checkpoint_dir}/{tag}_round_{best['round']}")
+    return int(best["round"]), list(best["checksum"]), df
+
+
+def _cc_save_state(spark, checkpoint_dir: str, tag: str, rnd: int, checksum):
+    """Commit the state row for round ``rnd`` (call only after the round's
+    data parquet has committed). Checksums are stringified: the star
+    variant's edge-hash sum is a decimal(38,0) that would overflow int64."""
+    spark.createDataFrame(
+        [(rnd, [str(x) for x in checksum])],
+        "round int, checksum array<string>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{checkpoint_dir}/{tag}_state_{rnd}"
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
     max_iters: int = 50,
     checkpoint_every: int = 5,
     telemetry: dict | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation: every node
     starts labeled with its own id; each round, labels flow across edges and
@@ -185,23 +229,54 @@ def connected_components(
 
     nodes: one column `doc_id`. edges: columns (a, b), directed — pass both
     directions for undirected graphs. Returns (doc_id, cluster_id).
+
+    ``checkpoint_dir`` makes the per-round state DURABLE: every
+    ``checkpoint_every`` rounds the label table is written to parquet
+    (replacing that round's localCheckpoint — both truncate lineage, the
+    parquet additionally survives the driver), and a re-run with the same
+    directory resumes from the newest committed round instead of round 0
+    (telemetry records ``resumed_from_round``). Crash anywhere: the newest
+    committed state always points at a fully-written round (see
+    _cc_save_state ordering).
     """
-    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster")).cache()
-    # Convergence via checksum: every propagation step can only LOWER a
-    # node's label (min of self and neighbors), so sum(cluster) strictly
-    # decreases until the fixpoint. Comparing consecutive sums replaces a
-    # per-round comparison join+count with one scalar aggregate that also
-    # materializes the round's cache — one job per round total.
-    checksum = labels.agg(F.sum("cluster")).collect()[0][0]
+    spark = nodes.sparkSession
+    start_round = 0
+    labels = None
+    if checkpoint_dir is not None:
+        st = _cc_load_latest(spark, checkpoint_dir, "prop")
+        if st is not None:
+            start_round, cks, saved = st
+            checksum = int(cks[0])
+            labels = saved.cache()
+            if telemetry is not None:
+                telemetry["resumed_from_round"] = start_round
+    if labels is None:
+        labels = nodes.select("doc_id", F.col("doc_id").alias("cluster")).cache()
+        # Convergence via checksum: every propagation step can only LOWER a
+        # node's label (min of self and neighbors), so sum(cluster) strictly
+        # decreases until the fixpoint. Comparing consecutive sums replaces a
+        # per-round comparison join+count with one scalar aggregate that also
+        # materializes the round's cache — one job per round total.
+        checksum = labels.agg(F.sum("cluster")).collect()[0][0]
     converged = False
-    for i in range(max_iters):
+    executed = 0  # rounds actually run THIS invocation (telemetry: a
+    # durable resume must execute only the remaining rounds)
+    for i in range(start_round, max_iters):
+        executed += 1
         msgs = edges.join(
             labels, edges["b"] == labels["doc_id"]
         ).select(F.col("a").alias("doc_id"), "cluster")
         new_labels = labels.unionAll(msgs).groupBy("doc_id").agg(
             F.min("cluster").alias("cluster")
         )
-        if (i + 1) % checkpoint_every == 0:
+        durable_round = checkpoint_dir is not None and (i + 1) % checkpoint_every == 0
+        if durable_round:
+            # durable twin of localCheckpoint: parquet write + re-read both
+            # materializes and truncates lineage, and survives the driver
+            path = f"{checkpoint_dir}/prop_round_{i + 1}"
+            new_labels.write.mode("overwrite").parquet(path)
+            new_labels = spark.read.parquet(path)
+        elif (i + 1) % checkpoint_every == 0:
             # materialize AND truncate lineage (replaces the cache for this
             # round): the next round's plan starts from the checkpointed
             # scan, not the i-round join chain.
@@ -209,6 +284,9 @@ def connected_components(
         else:
             new_labels = new_labels.cache()
         new_checksum = new_labels.agg(F.sum("cluster")).collect()[0][0]
+        if durable_round:
+            # data committed above, checksum known → commit the state row
+            _cc_save_state(spark, checkpoint_dir, "prop", i + 1, [new_checksum])
         labels.unpersist()
         labels = new_labels
         if new_checksum == checksum:
@@ -217,6 +295,8 @@ def connected_components(
                 telemetry.update(variant="label_propagation", rounds=i + 1)
             break
         checksum = new_checksum
+    if telemetry is not None:
+        telemetry["rounds_executed"] = executed
     if not converged:
         # release the last round's cached label table before raising —
         # connected_components_auto treats this raise as a ROUTINE fallback
@@ -237,6 +317,7 @@ def connected_components_auto(
     switch_after: int = 10,
     max_iters: int = 50,
     telemetry: dict | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components with an automatic O(log n) fallback: min-label
     propagation (cheapest per round, O(diameter) rounds — converges in 2-4
@@ -245,16 +326,26 @@ def connected_components_auto(
     (O(log n) rounds on ANY graph) instead of grinding out hundreds of
     propagation rounds. Output equality of the two variants is pinned by
     tests on chains/random graphs/forests; ``telemetry`` (optional dict)
-    records which variant finished and its round count."""
+    records which variant finished and its round count. ``checkpoint_dir``
+    enables durable per-round resume in both variants (distinct state tags,
+    so a fallback never reads propagation state as star state)."""
     try:
         return connected_components(
-            nodes, edges, max_iters=switch_after, telemetry=telemetry
+            nodes,
+            edges,
+            max_iters=switch_after,
+            telemetry=telemetry,
+            checkpoint_dir=checkpoint_dir,
         )
     except RuntimeError:
         if telemetry is not None:
             telemetry["fallback_after"] = switch_after
         return connected_components_star(
-            nodes, edges, max_iters=max_iters, telemetry=telemetry
+            nodes,
+            edges,
+            max_iters=max_iters,
+            telemetry=telemetry,
+            checkpoint_dir=checkpoint_dir,
         )
 
 
@@ -263,6 +354,7 @@ def connected_components_star(
     edges: DataFrame,
     max_iters: int = 50,
     telemetry: dict | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
@@ -297,12 +389,27 @@ def connected_components_star(
     # decimal(38,0) sum: int64 hash values would overflow a long sum under
     # ANSI mode; the decimal accumulator is exact and order-independent
     _edge_sum = F.sum(F.xxhash64("a", "b").cast("decimal(38,0)"))
-    checksum = und.agg(F.count(F.lit(1)), _edge_sum).collect()[0]
-    cur = und
+    spark = nodes.sparkSession
+    start_round = 0
+    if checkpoint_dir is not None:
+        st = _cc_load_latest(spark, checkpoint_dir, "star")
+        if st is not None:
+            from decimal import Decimal
+
+            start_round, cks, saved = st
+            checksum = (int(cks[0]), Decimal(cks[1]) if cks[1] != "None" else None)
+            cur = saved
+            und.unpersist()
+            und = cur
+            if telemetry is not None:
+                telemetry["resumed_from_round"] = start_round
+    if start_round == 0:
+        checksum = und.agg(F.count(F.lit(1)), _edge_sum).collect()[0]
+        cur = und
     converged = cur.isEmpty()
     if converged and telemetry is not None:
-        telemetry.update(variant="star", rounds=0)
-    for i in range(max_iters):
+        telemetry.update(variant="star", rounds=start_round)
+    for i in range(start_round, max_iters):
         if converged:
             break
         for large in (True, False):
@@ -328,9 +435,21 @@ def connected_components_star(
             # checkpoint EVERY sub-round: the neighborhood closure
             # references `cur` twice, so an un-truncated plan tree DOUBLES
             # per round (exponential — a cached-only variant OOMed the
-            # driver on plan tree strings by round ~12)
-            nxt = nxt.localCheckpoint(eager=True)
+            # driver on plan tree strings by round ~12). With a
+            # checkpoint_dir, the small-star sub-round's edge set goes to
+            # parquet instead (durable twin; one write per full round).
+            durable_round = checkpoint_dir is not None and not large
+            if durable_round:
+                path = f"{checkpoint_dir}/star_round_{i + 1}"
+                nxt.write.mode("overwrite").parquet(path)
+                nxt = spark.read.parquet(path)
+            else:
+                nxt = nxt.localCheckpoint(eager=True)
             new_checksum = nxt.agg(F.count(F.lit(1)), _edge_sum).collect()[0]
+            if durable_round:
+                _cc_save_state(
+                    spark, checkpoint_dir, "star", i + 1, list(new_checksum)
+                )
             cur.unpersist()
             cur = nxt
             if not large:
@@ -360,13 +479,20 @@ def connected_components_star(
     return labels
 
 
-def dedup_clusters(spark, sf_dir, telemetry: dict | None = None) -> DataFrame:
+def dedup_clusters(
+    spark,
+    sf_dir,
+    telemetry: dict | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Transitive near-dup clustering — the endgame of MinHash dedup: a doc
     sharing a band with B, where B shares a *different* band with C, must
     land in ONE cluster (single-round survivor rules miss the A~C link).
     Star edges (doc ↔ band-group min) keep the edge count linear in corpus
     size — never the quadratic clique — then connected components collapse
-    chains to their global min id."""
+    chains to their global min id. ``checkpoint_dir`` (one directory per
+    job) makes the CC rounds durably resumable — the hours-long path at
+    100 TB restarts from the last committed round, not round 0."""
     sig = minhash_signatures(spark, sf_dir)
     bands = _band_assignments(sig)
     star = _with_grp_min(bands)
@@ -385,7 +511,9 @@ def dedup_clusters(spark, sf_dir, telemetry: dict | None = None) -> DataFrame:
         .where(F.length("text") >= 3)
         .select("doc_id")
     )
-    labels = connected_components_auto(nodes, und, telemetry=telemetry)
+    labels = connected_components_auto(
+        nodes, und, telemetry=telemetry, checkpoint_dir=checkpoint_dir
+    )
     und.unpersist()
     return labels.select(
         "doc_id",

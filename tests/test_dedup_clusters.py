@@ -182,3 +182,111 @@ def test_auto_stays_on_label_propagation_for_shallow_graphs(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1}
     assert tel["variant"] == "label_propagation"
     assert "fallback_after" not in tel and 1 <= tel["rounds"] <= 10
+
+
+# --- durable per-round resume (checkpoint_dir) -------------------------------
+
+
+def test_cc_durable_resume_recomputes_only_remaining_rounds(spark, tmp_path):
+    """Kill label-propagation CC between rounds (max_iters abort after the
+    round-10 state committed), restart with the same checkpoint_dir: the
+    restart resumes FROM round 10, executes only the remaining rounds, and
+    produces the same labels as an uninterrupted run."""
+    import pytest
+
+    nodes, edges = _chain(spark, 26)  # diameter 25 → ~25 propagation rounds
+    ckpt = str(tmp_path / "cc")
+    with pytest.raises(RuntimeError):
+        dedup.connected_components(
+            nodes, edges, max_iters=12, checkpoint_dir=ckpt
+        )  # dies after round 12; rounds 5 and 10 are committed
+    tel = {}
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in dedup.connected_components(
+            nodes, edges, telemetry=tel, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert tel["resumed_from_round"] == 10
+    assert tel["rounds_executed"] == tel["rounds"] - 10  # only the remainder
+    assert got == {i: 1 for i in range(1, 27)}
+    # uninterrupted fresh run agrees exactly
+    want = {
+        r["doc_id"]: r["cluster"]
+        for r in dedup.connected_components(nodes, edges).collect()
+    }
+    assert got == want
+
+
+def test_cc_durable_resume_ignores_torn_state(spark, tmp_path):
+    """A crash between a round's data commit and its state commit (or a
+    torn state write) must fall back to the previous committed round, not
+    resume from half-written state: deleting the round-10 state table makes
+    the restart resume from round 5 and still converge correctly."""
+    import shutil
+
+    import pytest
+
+    nodes, edges = _chain(spark, 26)
+    ckpt = str(tmp_path / "cc")
+    with pytest.raises(RuntimeError):
+        dedup.connected_components(
+            nodes, edges, max_iters=12, checkpoint_dir=ckpt
+        )
+    shutil.rmtree(f"{ckpt}/prop_state_10")  # simulate torn round-10 commit
+    tel = {}
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in dedup.connected_components(
+            nodes, edges, telemetry=tel, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert tel["resumed_from_round"] == 5
+    assert got == {i: 1 for i in range(1, 27)}
+
+
+def test_cc_star_durable_resume_matches_fresh_run(spark, tmp_path):
+    """Star-contraction CC with a checkpoint_dir: abort after 1 round,
+    restart resumes from the committed round-1 edge state and the final
+    labels equal an uninterrupted star run."""
+    import pytest
+
+    nodes, edges = _chain(spark, 40)
+    ckpt = str(tmp_path / "star")
+    with pytest.raises(RuntimeError):
+        dedup.connected_components_star(
+            nodes, edges, max_iters=1, checkpoint_dir=ckpt
+        )
+    tel = {}
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in dedup.connected_components_star(
+            nodes, edges, telemetry=tel, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert tel["resumed_from_round"] == 1
+    assert got == {i: 1 for i in range(1, 41)}
+    want = {
+        r["doc_id"]: r["cluster"]
+        for r in dedup.connected_components_star(nodes, edges).collect()
+    }
+    assert got == want
+
+
+def test_dedup_clusters_checkpoint_dir_output_unchanged(spark, tmp_path):
+    """The registered query's output is identical with and without a
+    checkpoint_dir (resume is a pure execution concern, not a semantic
+    one), and an immediate re-run resumes from the converged state."""
+    plain = {
+        (r["doc_id"], r["cluster_id"], r["survivor"])
+        for r in dedup.dedup_clusters(spark, SF).collect()
+    }
+    ckpt = str(tmp_path / "q")
+    tel = {}
+    durable = {
+        (r["doc_id"], r["cluster_id"], r["survivor"])
+        for r in dedup.dedup_clusters(
+            spark, SF, telemetry=tel, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert plain == durable
