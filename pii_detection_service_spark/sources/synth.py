@@ -124,12 +124,12 @@ def make_row(i: int, size: int = 24) -> dict:
 def make_row_mixed(i: int, size: int = 24) -> dict:
     """Like :func:`make_row` but cycling through the real-corpus format mix:
     PNG, baseline color JPEG, GRAYSCALE (1-component) JPEG, 4:2:0 color
-    JPEG, palette GIF, 24-bit BMP, and lossless WebP (VP8L) — the layouts
-    a 100 TB crawl actually contains. Deliberately a separate generator so
-    the main synth table (and every bench cache keyed on it) stays
-    byte-stable."""
+    JPEG, palette GIF, 24-bit BMP, lossless WebP (VP8L), and lossy WebP
+    (VP8 key frame, r5) — the layouts a 100 TB crawl actually contains.
+    Deliberately a separate generator so the main synth table (and every
+    bench cache keyed on it) stays byte-stable."""
     px = pixels_for(i, size)
-    variant = i % 7
+    variant = i % 8
     if variant == 0:
         fmt, data = "png", imagecodec.encode_png(px)
     elif variant == 1:
@@ -156,13 +156,18 @@ def make_row_mixed(i: int, size: int = 24) -> dict:
         from . import bmpcodec
 
         fmt, data = "bmp", bmpcodec.encode_bmp(px)
-    else:
+    elif variant == 6:
         from . import webpcodec
 
         # VP8L is lossless: the source pixels ARE the ground truth
         fmt, data = "webp", webpcodec.encode_webp_lossless(
             px, subtract_green=True, lz77=True
         )
+    else:
+        from . import vp8codec
+
+        # lossy WebP: VP8 key frame at the near-lossless quantizer
+        fmt, data = "webp", vp8codec.encode_webp_vp8(px, qi=4)
     return {
         "image_id": f"img_{i:08d}",
         "bytes": data,

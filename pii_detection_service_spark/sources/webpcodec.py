@@ -20,17 +20,20 @@ the complete VP8L feature set a lossless crawl file can use:
   (3.5-bit signed fixed point), subtract-green, and color indexing with
   sub-byte pixel packing (8/4/2 pixels per byte).
 
-Lossy WebP (``VP8 `` chunks) is a different codec family (a VP8 video
-intraframe); it raises NotImplementedError — an honest seam, like every
-other codec gap in this repo, never silently-wrong pixels.
+Lossy WebP (``VP8 `` chunks) dispatches to vp8codec.py (r5): a full
+intra-only VP8 key-frame decoder verified bit-exact against the system
+libwebp in both directions. Inter frames (which a still-image WebP never
+leads with) raise NotImplementedError there — the honest-seam convention,
+never silently-wrong pixels.
 
-Verification note: this container ships no libwebp/PIL/cwebp, so there
-are no externally-produced WebP files to cross-check against. The tests
-pin (a) hand-serialized bit-layout vectors derived from the public spec
-(RFC 9649), (b) encoder↔decoder round-trips across every feature
-combination, and (c) structural invariants of the spec tables. The
-encoder exists to fabricate those layouts; it is spec-conformant but
-optimizes nothing.
+Verification note: originally built from the public spec (RFC 9649)
+alone and pinned by hand-serialized bit-layout vectors, encoder↔decoder
+round-trips across every feature combination, and structural table
+invariants. r5 additionally cross-verifies against the system libwebp
+(found usable via ctypes): files from this encoder decode bit-exactly in
+libwebp and vice versa (tests/test_vp8codec.py) — that oracle exposed and
+fixed the _CL_ORDER conformance bug documented below. The encoder exists
+to fabricate layouts; it is spec-conformant but optimizes nothing.
 
 Reference parity: the reference service (lendl-uy/pii-detection-service)
 has no image pipeline; this codec serves the north rule's decoded-pixel
@@ -48,7 +51,14 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 # Order in which code-length-code lengths appear in the stream.
-_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+# NOTE: 16 sits between 5 and 6 — r5 conformance fix. r4 had 16 LAST, a
+# self-consistent error (encoder and decoder shared it, every round-trip
+# passed, and the hand-pinned vectors only used symbols 0/1/17/18 whose
+# slots are identical in both orders). The system libwebp oracle exposed
+# it: any stream whose code-length code contains a symbol >= 6 had that
+# symbol's 3-bit slot shifted by one. Cross-verified bit-exact against
+# libwebp in both directions (tests/test_vp8codec.py).
+_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
 
 # 2D distance map: the first 120 distance-code values address a pixel
 # neighborhood as (dx, dy) offsets; dist = dy * width + dx (min 1).
@@ -673,10 +683,10 @@ def decode_webp(data: bytes) -> np.ndarray:
         if tag == b"VP8L":
             return decode_vp8l(payload)
         if tag == b"VP8 ":
-            raise NotImplementedError(
-                "lossy WebP (VP8 intraframe) is a different codec family; "
-                "plug a VP8 decoder in here"
-            )
+            # lossy WebP: VP8 key-frame codec (r5; closes the r4 seam)
+            from . import vp8codec
+
+            return vp8codec.decode_vp8_rgba(payload)
         # VP8X and metadata chunks: keep scanning for the image chunk
         pos += 8 + size + (size & 1)
     raise ValueError("no image chunk in WebP container")

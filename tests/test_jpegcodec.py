@@ -294,11 +294,12 @@ def test_two_component_stream_raises_honestly():
 
 def test_decode_stats_over_mixed_formats_incl_grayscale(spark):
     """The mixed-format synth table (PNG / baseline / GRAYSCALE / 4:2:0 /
-    palette GIF / 24-bit BMP / lossless WebP) must decode row-for-row:
-    dimensions exact for every variant, the grayscale rows' mean tracking
-    the source LUMA mean (not the RGB mean), and the GIF rows' mean
-    tracking the posterized pixels the writer actually stored (palette
-    GIF is lossless over those)."""
+    palette GIF / 24-bit BMP / lossless WebP / LOSSY VP8 WebP) must decode
+    row-for-row: dimensions exact for every variant, the grayscale rows'
+    mean tracking the source LUMA mean (not the RGB mean), the GIF rows'
+    mean tracking the posterized pixels the writer actually stored
+    (palette GIF is lossless over those), and the lossy-WebP rows' mean
+    near the source (4:2:0 + qi=4 quantization)."""
     from pii_detection_service_spark.operators import multimodal
     from pii_detection_service_spark.sources.synth import (
         make_row_mixed,
@@ -314,17 +315,20 @@ def test_decode_stats_over_mixed_formats_incl_grayscale(spark):
         r = got[f"img_{i:08d}"]
         assert r["decode_ok"] and r["dec_w"] == 24 and r["dec_h"] == 24, i
         px = synth.pixels_for(i)
-        if i % 7 == 2:  # grayscale rows carry the luma plane only
+        if i % 8 == 2:  # grayscale rows carry the luma plane only
             ref = float(
                 (px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])).mean()
             )
-        elif i % 7 == 4:  # GIF rows store 4-level posterized pixels exactly
+        elif i % 8 == 4:  # GIF rows store 4-level posterized pixels exactly
             ref = float(((px >> 6) << 6).mean())
-        elif i % 7 == 6:  # WebP decodes RGBA; the opaque alpha plane is
-            ref = (float(px.mean()) * 3 + 255.0) / 4  # part of the mean
+        elif i % 8 in (6, 7):  # WebP decodes RGBA; the opaque alpha plane
+            ref = (float(px.mean()) * 3 + 255.0) / 4  # is part of the mean
         else:  # PNG / JPEG / BMP rows decode the source pixels
             ref = float(px.mean())
-        assert abs(r["mean_px"] - ref) < 3.0, i
+        # lossy VP8 rows (i%8==7) eat 4:2:0 + quantization error on noise
+        # content; the mean still tracks within a wider band
+        tol = 6.0 if i % 8 == 7 else 3.0
+        assert abs(r["mean_px"] - ref) < tol, i
     # and the feature/resize plumbing must be shape-stable over the mix
     feats = multimodal.extract_features(synth_spark_mixed(spark, 12)).collect()
     assert all(len(r["features"]) == 48 for r in feats)

@@ -1,0 +1,344 @@
+"""Lossy WebP (VP8 key-frame) codec: spec conformance and contracts.
+
+Verification strategy (stronger than the VP8L pattern, which had no
+reference implementation in this environment): the system ships
+libwebp.so.7, a spec-conformant BSD-licensed codec. Tests prove BIT-EXACT
+Y/U/V agreement in BOTH directions — libwebp-encoded streams (random
+sizes/qualities/methods/filters/segmentation) decode identically here,
+and streams fabricated by this repo's encoder (including B_PRED, skip
+flags, and 8-partition layouts libwebp's encoder never emits) decode
+identically in libwebp. Two libwebp-encoded streams are additionally
+EMBEDDED as fixtures with pinned plane hashes, so the conformance pin
+holds even on machines without the library.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+
+import numpy as np
+import pytest
+
+from pii_detection_service_spark.sources import vp8codec, webpcodec
+from pii_detection_service_spark.sources.vp8codec import (
+    VP8Decoder,
+    VP8Encoder,
+    decode_vp8,
+    encode_webp_vp8,
+    rgb_to_yuv,
+)
+
+# --- embedded libwebp-encoded fixtures (stock + segmented/filtered) ----------
+F1_HEX = (  # 540 bytes: 48x36, segments=4 + sns, normal loop filter
+    "5249464614020000574542505650382008020000d20b009d012a300024003e9d429445a5"
+    "a4221aaaac025809c4b1806199b7dc03659f4018329a851e881e79b2e43db8e8aed2e572"
+    "118643ab019ebfbd57f2bbe84cb3d8fbe70abdfbf90491e01e8aedd6656fd7f921458de8"
+    "c2934043e086f52ac1af247bf56fc000fefbfc0c8c97bd65eb5dffe92cd5a7190f63ed32"
+    "1e012a4c611a255fec6c51e052d69b318ed567b2923d711342602a5a02c36247c3720613"
+    "37f0a10ca05afd60a4cf2f8c11ce22d75627dd6a7fbc9ac14e9832f4cd903536cee98af9"
+    "180978835e3cfba31c43212af9b94b54bd2fe797b3449d52d4adf0bb8561286962d9f0c5"
+    "6c2bc599245de12407e434c89838d205c89f03475a52deb37c37402283cae1b8286f8caa"
+    "1d9a1b09531846711a414bbd4d30292916e56dfffb3ebbab68fc51170a9e6f6d9dd3c80c"
+    "fd7ece8f9dc604e18370c60fe81e0ff615751f27c202fe46d4caf744fd5833576ba74872"
+    "13663b9b068854a4c6bdbf08973b72e585cfc25085cf7088e746086d1edf1534846cbacc"
+    "0cd7d81d3cc5af11c9e0e71e55c497087d1306368ce8687668efb6f799859e3f8ecb30b1"
+    "8653ec9e5075ab0854574fa8b1c3c5a8fe2d9786fd0264e559ed79da129ae500c0687b5d"
+    "5d211314656e9fdcfd50bbff97892e776781239d4cf202e22c830c451d0e2ac45404dcee"
+    "42df8bf9488916881895ae7d3e65cdd0cf2995e127e3c6da8b1f9bbf00d7398c7a4c0000"
+)
+F1_YUV_SHA256 = "c5a3683f43afd1f233670b7043557d1205bf14790b8a5c4f8248641846bf02b8"
+F2_HEX = (  # 662 bytes: 40x24, libwebp simple-API defaults (version 0)
+    "524946468e020000574542505650382082020000300c009d012a280018003e9d42994925"
+    "a3a2212aac00b013896c009d32ca583d92a017d006d80e784f401bc1fbc53fe21f904f81"
+    "bf29a812bcb181e7f5998fa5bd813caabd5c7ec77b19feca8a11621ce3b84fad33706dac"
+    "14dd3c6eff41ec68731ed9a7a9ce4cd0d60000ed7956bf7aec0a0e08d4f02199ede98047"
+    "002da533c0563d5707d21818ff472cec3e4ad3dafa8d37b10d2bb7dee38929fcb2314655"
+    "7d787482d2e3431695b4bc9e909d922f4fef4b26ca508959bab7678861969f65a154705a"
+    "ff25ad0519ad7cdc3c9fc19917076765f077be8ade1b9d3b691db8e17b79495eb9dfef9e"
+    "fddbaa8ee09db02a90e0b23cc89fc069b4693425e2938dbcd80e1798c572198329586e47"
+    "356125157b0aac14546f69e2f3b5e06b4b68ce4626260a0be26f96aed67e25fa4ea94adc"
+    "364d7356bee35d4513d2cc9fae1dea16053de6ef8c4e012bf6e335402d46d3880347619f"
+    "11bfeb9341d86006a8cbe3ab8a766431c9569c099173fd1f1ea4d3deda5d4e36601bcd48"
+    "90db20a27e26b74215fc884e70be22ac80bf43325e93e1e5e613c04d27e73441390da0bc"
+    "716261f5feeb6bb10becd94bb2f5673d4eedd98216a2365e81d13c1eae8d2719d2129fc8"
+    "253bb1243f1062dce5fb68f15088496cf01e4a9637065f2258bf809020384d0d91913bd1"
+    "a481246580c8401253ef31fdb9f260d7de4563bf02192a55d3881969d606e9ad6da6ffd1"
+    "e3264b0f8aba3a28af43f88fab620484881e46cfc4c04fda897458e93311a690b7c2be3f"
+    "9f3b35dcfd0761191994264278358e33bcabd82785ba34bfee5beec9a2fd55aa6a68e326"
+    "b3bb1251ff955242c5ea6281e217479545e89bd12c4c8b1288fdf9c9a5f9c0fc95f92e32"
+    "48a390eaef87b3a63fb000000000"
+)
+F2_YUV_SHA256 = "24ebce244c9d0d30fc32e36ca0eab59efb152a9a2be3f3669eea044838e13de7"
+
+
+def _vp8_payload(webp: bytes) -> bytes:
+    assert webp[12:16] == b"VP8 "
+    return webp[20:]
+
+
+def _yuv_hash(y, u, v) -> str:
+    return hashlib.sha256(y.tobytes() + u.tobytes() + v.tobytes()).hexdigest()
+
+
+# --- libwebp oracle (tests-only ctypes binding; skipped when absent) ---------
+
+_LIB_PATHS = ["libwebp.so.7", "/usr/lib/x86_64-linux-gnu/libwebp.so.7"]
+
+
+def _load_libwebp():
+    for p in _LIB_PATHS:
+        try:
+            return ctypes.CDLL(p)
+        except OSError:
+            continue
+    return None
+
+
+_LIB = _load_libwebp()
+needs_libwebp = pytest.mark.skipif(_LIB is None, reason="no system libwebp")
+
+
+def _lw_decode_yuv(data: bytes):
+    lib = _LIB
+    lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_ubyte)
+    W = ctypes.c_int()
+    H = ctypes.c_int()
+    U = ctypes.POINTER(ctypes.c_ubyte)()
+    V = ctypes.POINTER(ctypes.c_ubyte)()
+    stride = ctypes.c_int()
+    uv_stride = ctypes.c_int()
+    p = lib.WebPDecodeYUV(
+        data, ctypes.c_size_t(len(data)), ctypes.byref(W), ctypes.byref(H),
+        ctypes.byref(U), ctypes.byref(V), ctypes.byref(stride),
+        ctypes.byref(uv_stride),
+    )
+    assert p, "libwebp decode failed"
+    w, h = W.value, H.value
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    y = np.ctypeslib.as_array(p, shape=(h, stride.value))[:, :w].copy()
+    u = np.ctypeslib.as_array(U, shape=(ch, uv_stride.value))[:, :cw].copy()
+    v = np.ctypeslib.as_array(V, shape=(ch, uv_stride.value))[:, :cw].copy()
+    lib.WebPFree(p)
+    return y, u, v
+
+
+def _lw_encode(rgb: np.ndarray, quality: float) -> bytes:
+    lib = _LIB
+    h, w, _ = rgb.shape
+    lib.WebPEncodeRGB.restype = ctypes.c_size_t
+    lib.WebPEncodeRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.c_char_p),
+    ]
+    out = ctypes.c_char_p()
+    n = lib.WebPEncodeRGB(
+        np.ascontiguousarray(rgb).tobytes(), w, h, w * 3,
+        ctypes.c_float(quality), ctypes.byref(out),
+    )
+    assert n
+    data = ctypes.string_at(out, n)
+    lib.WebPFree(out)
+    return data
+
+
+def _img(seed: int, w: int, h: int, noise: float = 14.0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0, 255, w)[None, :, None]
+    y = np.linspace(15, 240, h)[:, None, None]
+    img = 0.55 * x + 0.45 * y + rng.normal(0, noise, (h, w, 3))
+    img[h // 3 : h // 2, w // 3 : w // 2] += 70
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+# --- embedded-fixture conformance (runs everywhere) ---------------------------
+
+
+def test_fixture_streams_decode_to_pinned_planes():
+    """Two real libwebp-encoded streams (one with segmentation + the normal
+    loop filter, one with stock simple-API settings) decode to the exact
+    Y/U/V planes libwebp itself produced (sha256-pinned)."""
+    for hx, want in ((F1_HEX, F1_YUV_SHA256), (F2_HEX, F2_YUV_SHA256)):
+        data = bytes.fromhex("".join(hx))
+        y, u, v = decode_vp8(_vp8_payload(data))
+        assert _yuv_hash(y, u, v) == want
+
+
+def test_fixture_through_webp_container_dispatch():
+    data = bytes.fromhex("".join(F2_HEX))
+    px = webpcodec.decode_webp(data)
+    assert px.shape == (24, 40, 4)
+    assert px[..., 3].min() == 255
+
+
+# --- round-trip + PSNR (runs everywhere) --------------------------------------
+
+
+def test_roundtrip_psnr_above_40db_near_lossless():
+    """qi=4 (the near-lossless operating point, mirroring the JPEG codec's
+    quality-98 pin): full RGB round-trip PSNR >= 40 dB on smooth-plus-noise
+    synth content."""
+    img = _img(1, 64, 48, noise=2.0)
+    data = encode_webp_vp8(img, qi=4)
+    px = webpcodec.decode_webp(data)
+    mse = np.mean((px[..., :3].astype(float) - img.astype(float)) ** 2)
+    assert 10 * np.log10(255.0**2 / mse) >= 40.0
+
+
+def test_y_plane_roundtrip_is_tight_at_qi0():
+    img = _img(2, 48, 32, noise=3.0)
+    y, u, v = rgb_to_yuv(img)
+    data = encode_webp_vp8(img, qi=0)
+    yd, ud, vd = decode_vp8(_vp8_payload(data))
+    mse = np.mean((yd.astype(float) - y.astype(float)) ** 2)
+    assert 10 * np.log10(255.0**2 / max(mse, 1e-12)) >= 46.0
+
+
+def test_encoder_recon_equals_decoder_output_all_features():
+    """The encoder's internal reconstruction IS the decode result —
+    across 16x16 modes, forced B_PRED, skip flags, and 8 partitions."""
+    img = _img(3, 80, 48)
+    y, u, v = rgb_to_yuv(img)
+    for kw in (
+        dict(),
+        dict(force_bpred=True),
+        dict(use_skip=True, log2_parts=3),
+        dict(allow_bpred=False, use_skip=True),
+    ):
+        enc = VP8Encoder(y, u, v, qi=18, **kw)
+        payload = enc.encode()
+        yd, ud, vd = decode_vp8(payload)
+        h, w = y.shape
+        assert np.array_equal(yd, enc.recon[0][1 : 1 + h, 1 : 1 + w].astype(np.uint8))
+        assert np.array_equal(ud, enc.recon[1][1 : 1 + h // 2, 1 : 1 + w // 2].astype(np.uint8))
+        assert np.array_equal(vd, enc.recon[2][1 : 1 + h // 2, 1 : 1 + w // 2].astype(np.uint8))
+
+
+def test_odd_dimensions_crop():
+    img = _img(4, 50, 34)
+    data = encode_webp_vp8(img, qi=8)
+    px = webpcodec.decode_webp(data)
+    assert px.shape == (34, 50, 4)
+
+
+def test_skip_flags_actually_engage_on_flat_content():
+    img = np.full((64, 64, 3), 140, np.uint8)
+    img[:16, :16] = _img(5, 16, 16, noise=40)[..., :3]
+    y, u, v = rgb_to_yuv(img)
+    enc = VP8Encoder(y, u, v, qi=30, use_skip=True)
+    payload = enc.encode()
+    dec = VP8Decoder(payload)
+    dec.decode()
+    assert dec.use_skip == 1
+    assert dec.skips.sum() > 0  # flat MBs really skipped
+
+
+# --- torn-file contracts (runs everywhere) -------------------------------------
+
+
+def test_torn_file_contracts_raise_never_wrong_pixels():
+    img = _img(6, 32, 32)
+    data = encode_webp_vp8(img, qi=8)
+    payload = _vp8_payload(data)
+    with pytest.raises(ValueError):
+        VP8Decoder(payload[:6])  # truncated uncompressed header
+    bad = bytearray(payload)
+    bad[3:6] = b"\x00\x00\x00"
+    with pytest.raises(ValueError):
+        VP8Decoder(bytes(bad))  # bad start code
+    with pytest.raises(ValueError):
+        VP8Decoder(payload[:9])  # truncated dimensions
+    # first-partition size pointing past the buffer
+    with pytest.raises(ValueError):
+        VP8Decoder(payload[: 10 + 2])
+    # interframe (lowest tag bit set) is an honest NotImplementedError seam
+    inter = bytearray(payload)
+    inter[0] |= 1
+    with pytest.raises(NotImplementedError):
+        VP8Decoder(bytes(inter))
+    # hard-truncated token partition: structural failure must raise
+    dec = VP8Decoder(payload)
+    dec.partitions[0].end = dec.partitions[0].pos  # simulate torn tail
+    dec.partitions[0].d = payload[: dec.partitions[0].pos]
+    with pytest.raises(ValueError):
+        dec.decode()
+
+
+# --- libwebp conformance (both directions; skipped without the library) -------
+
+
+@needs_libwebp
+def test_libwebp_streams_decode_bit_exact_here():
+    """Direction C: libwebp encodes (stock settings incl. segmentation +
+    normal loop filter), this decoder reproduces libwebp's own YUV output
+    bit-for-bit."""
+    for seed, (w, h), q in ((10, (48, 32), 75), (11, (96, 64), 40), (12, (33, 49), 92)):
+        img = _img(seed, w, h)
+        data = _lw_encode(img, q)
+        got = decode_vp8(_vp8_payload(data))
+        want = _lw_decode_yuv(data)
+        for g, wv in zip(got, want):
+            assert np.array_equal(g, wv), (seed, w, h, q)
+
+
+@needs_libwebp
+def test_fabricated_streams_decode_bit_exact_in_libwebp():
+    """Direction A: streams from this encoder — including B_PRED, skip and
+    multi-partition layouts libwebp's encoder never emits — decode
+    bit-exactly in libwebp (the encoder's reconstruction is the ground
+    truth both decoders must hit)."""
+    img = _img(20, 64, 48)
+    y, u, v = rgb_to_yuv(img)
+    for kw in (dict(), dict(force_bpred=True), dict(use_skip=True, log2_parts=3)):
+        enc = VP8Encoder(y, u, v, qi=12, **kw)
+        payload = enc.encode()
+        chunk = payload + (b"\x00" if len(payload) % 2 else b"")
+        riff = b"WEBP" + b"VP8 " + len(payload).to_bytes(4, "little") + chunk
+        webp = b"RIFF" + len(riff).to_bytes(4, "little") + riff
+        got = _lw_decode_yuv(webp)
+        h, w = y.shape
+        want = (
+            enc.recon[0][1 : 1 + h, 1 : 1 + w].astype(np.uint8),
+            enc.recon[1][1 : 1 + h // 2, 1 : 1 + w // 2].astype(np.uint8),
+            enc.recon[2][1 : 1 + h // 2, 1 : 1 + w // 2].astype(np.uint8),
+        )
+        for g, wv in zip(got, want):
+            assert np.array_equal(g, wv), kw
+
+
+@needs_libwebp
+def test_vp8l_lossless_codec_matches_libwebp_both_directions():
+    """Retroactive strengthening of the r4 VP8L codec: its spec-only
+    verification now gets a real reference — files from this repo's VP8L
+    encoder decode bit-exactly in libwebp, and libwebp's own lossless
+    encodes decode bit-exactly here."""
+    lib = _LIB
+    rng = np.random.default_rng(99)
+    px = rng.integers(0, 256, (21, 17, 3), dtype=np.uint8)
+    # ours -> libwebp
+    data = webpcodec.encode_webp_lossless(px, subtract_green=True, lz77=True)
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_ubyte)
+    W = ctypes.c_int()
+    H = ctypes.c_int()
+    p = lib.WebPDecodeRGBA(
+        data, ctypes.c_size_t(len(data)), ctypes.byref(W), ctypes.byref(H)
+    )
+    assert p, "libwebp rejected our VP8L file"
+    got = np.ctypeslib.as_array(p, shape=(H.value, W.value, 4)).copy()
+    lib.WebPFree(p)
+    assert np.array_equal(got[..., :3], px) and (got[..., 3] == 255).all()
+    # libwebp -> ours
+    lib.WebPEncodeLosslessRGB.restype = ctypes.c_size_t
+    lib.WebPEncodeLosslessRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_char_p),
+    ]
+    out = ctypes.c_char_p()
+    n = lib.WebPEncodeLosslessRGB(
+        np.ascontiguousarray(px).tobytes(), 17, 21, 17 * 3, ctypes.byref(out)
+    )
+    assert n
+    lwdata = ctypes.string_at(out, n)
+    lib.WebPFree(out)
+    ours = webpcodec.decode_webp(lwdata)
+    assert np.array_equal(ours[..., :3], px)

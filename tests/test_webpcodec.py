@@ -1,11 +1,13 @@
 """WebP lossless (VP8L) codec tests.
 
-No libwebp/PIL/cwebp exists in this container, so there are no
-externally-produced files to cross-check; the pins are (a) a hand-
-serialized bit-layout vector built field-by-field from the public spec
+These pins were written against the public spec alone: (a) a hand-
+serialized bit-layout vector built field-by-field from the spec
 (independent of the encoder's serializer), (b) encoder↔decoder round
 trips across every feature and combination, (c) structural invariants of
-the spec tables, and (d) torn-file / wrong-family contracts."""
+the spec tables, and (d) torn-file / wrong-family contracts. (r5 found a
+system libwebp.so usable via ctypes — the LOSSY codec's tests,
+test_vp8codec.py, additionally verify bit-exactly against it; a VP8L
+cross-check lives there too.)"""
 
 import struct
 
@@ -270,12 +272,23 @@ def test_vp8x_extended_container():
     assert np.array_equal(wc.decode_webp(data), wc.decode_webp(plain))
 
 
-def test_lossy_vp8_is_an_honest_seam():
-    data = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + struct.pack(
+def test_lossy_vp8_dispatches_and_interframe_stays_an_honest_seam():
+    """r5: lossy VP8 key frames decode (vp8codec); garbage still raises
+    ValueError (never wrong pixels) and INTER frames remain the honest
+    NotImplementedError seam."""
+    garbage = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + struct.pack(
         "<I", 4
     ) + bytes(4)
-    with pytest.raises(NotImplementedError, match="lossy WebP"):
-        wc.decode_webp(data)
+    with pytest.raises(ValueError):
+        wc.decode_webp(garbage)
+    from pii_detection_service_spark.sources import vp8codec
+    import numpy as np
+    img = np.full((16, 16, 3), 90, np.uint8)
+    data = bytearray(vp8codec.encode_webp_vp8(img, qi=4))
+    assert wc.decode_webp(bytes(data)).shape == (16, 16, 4)
+    data[20] |= 1  # frame tag: interframe
+    with pytest.raises(NotImplementedError, match="intra-only"):
+        wc.decode_webp(bytes(data))
 
 
 def test_not_riff_raises():
