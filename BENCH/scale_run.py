@@ -132,7 +132,17 @@ def main():
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
 
+    # SPARK_GRAFT_SCALE_ONLY=name1,name2 runs a subset of legs (used by the
+    # r5 20M run to extend the r4 20M file with the new-family legs without
+    # re-paying the ~17-minute dedup block on the same box). Skips are
+    # printed — no silent caps.
+    only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
+    only_set = set(only.split(",")) if only else None
+
     def timed(name, fn):
+        if only_set is not None and name not in only_set:
+            print(f"  {name}: SKIPPED (SPARK_GRAFT_SCALE_ONLY)", file=sys.stderr)
+            return
         t0 = time.monotonic()
         out = fn()
         times[name] = round(time.monotonic() - t0, 2)
@@ -272,6 +282,25 @@ def main():
             cap=max(1000, n // 1000),
         ).count(),
     )
+
+    # chained mixture shaping → LM training (the production recipe: cap the
+    # hot language, then train the perplexity model ON THE SAMPLE): the
+    # sample is a map-only filter feeding the vocabulary-bounded count agg,
+    # so the chain's wall must track one scan + one bounded shuffle.
+    def _sample_then_train():
+        d = spark.read.parquet(docs_path).select(
+            "doc_id",
+            "text",
+            F.expr(
+                "if(doc_id % 2 = 0, 'en', "
+                "concat('l', cast(doc_id % 19 as string)))"
+            ).alias("lang"),
+        )
+        sampled = smp.balanced_sample(d, "lang", cap=max(1000, n // 100))
+        tbl = lmtrain.train_char_bigram_lm(sampled)
+        return int((tbl != _FLOOR).sum())
+
+    timed("sample_then_lm_train", _sample_then_train)
 
     # flagship score-only throughput (map-only Arrow pass)
     ips = None
