@@ -1613,18 +1613,14 @@ class VP8Encoder:
             tok.tree(COEF_TREE, pr, DCT_EOB, start=start)
         return 1
 
-    # prediction helpers identical to decoder's
+    # prediction helpers: run the DECODER's own predictors (a stub
+    # instance carries the one attribute they read), so encoder
+    # reconstruction is the decoder's by construction
     def _pred16(self, Y, y0, x0, mode, my, mx):
-        out = np.zeros((16, 16), dtype=np.int32)
-
-        class T:
-            pass
-
         d = VP8Decoder.__new__(VP8Decoder)
         d.mb_w = self.mb_w
         VP8Decoder._predict_16(d, Y, y0, x0, mode, my, mx)
-        out[:, :] = Y[y0 : y0 + 16, x0 : x0 + 16]
-        return out
+        return Y[y0 : y0 + 16, x0 : x0 + 16].copy()
 
     def _pred8(self, P, y0, x0, mode, my, mx):
         d = VP8Decoder.__new__(VP8Decoder)
@@ -1693,7 +1689,11 @@ def encode_webp_vp8(
     """RGB(A) pixels -> complete lossy WebP file (RIFF + ``VP8 `` chunk).
 
     qi is the VP8 quantizer index (0..127; 4 is near-lossless, the PSNR
-    pin's operating point, mirroring the JPEG codec's quality-98 choice)."""
+    pin's operating point, mirroring the JPEG codec's quality-98 choice).
+
+    A 4-channel input with any non-opaque pixel produces the VP8X layout
+    with a raw (losslessly-carried, filter 0) ALPH chunk ahead of the VP8
+    chunk — the spec's lossy-with-alpha file shape."""
     if pixels.ndim != 3 or pixels.shape[2] not in (3, 4):
         raise ValueError("expected (h, w, 3|4) uint8 pixels")
     y, u, v = rgb_to_yuv(pixels[..., :3])
@@ -1702,6 +1702,27 @@ def encode_webp_vp8(
         log2_parts=log2_parts, use_skip=use_skip,
     )
     vp8 = enc.encode()
-    chunk = vp8 + (b"\x00" if len(vp8) % 2 else b"")
-    riff = b"WEBP" + b"VP8 " + len(vp8).to_bytes(4, "little") + chunk
-    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + len(body).to_bytes(4, "little") + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    ih, iw = pixels.shape[:2]
+    has_alpha = pixels.shape[2] == 4 and bool((pixels[..., 3] != 255).any())
+    if has_alpha:
+        alph = bytes([0]) + pixels[..., 3].tobytes()  # raw, no filter
+        vp8x = (
+            bytes([0x10, 0, 0, 0])  # flags: alpha
+            + (iw - 1).to_bytes(3, "little")
+            + (ih - 1).to_bytes(3, "little")
+        )
+        body = (
+            b"WEBP"
+            + chunk(b"VP8X", vp8x)
+            + chunk(b"ALPH", alph)
+            + chunk(b"VP8 ", vp8)
+        )
+    else:
+        body = b"WEBP" + chunk(b"VP8 ", vp8)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body

@@ -619,7 +619,18 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     br.read_bit()  # alpha hint
     if br.read(3) != 0:
         raise ValueError("unknown VP8L version")
+    img = _decode_image_stream(br, w, h)
+    a, r, g, b = _argb_split(img.reshape(h, w))
+    return np.stack([r, g, b, a], axis=-1).astype(np.uint8)
 
+
+def _decode_image_stream(br: _BitReader, w: int, h: int) -> np.ndarray:
+    """The headerless VP8L *image stream* (transforms + entropy-coded image
+    + inverse transforms) with externally-supplied dimensions — the shared
+    grammar between a VP8L chunk body (after its 14+14-bit size header)
+    and an ALPH chunk's compression-method-1 payload (spec: the alpha
+    plane rides the GREEN channel of a headerless lossless stream).
+    Returns the flat uint32 ARGB array."""
     transforms = []
     seen = set()
     cur_w = w
@@ -664,9 +675,77 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
             _, wbits, pal, full_w = t
             img = _inv_palette(img, cur_w, h, wbits, pal, full_w)
             cur_w = full_w
+    return img
 
-    a, r, g, b = _argb_split(img.reshape(h, w))
-    return np.stack([r, g, b, a], axis=-1).astype(np.uint8)
+
+def decode_alpha(payload: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk → uint8 (h, w) alpha plane (the lossy-WebP-with-alpha
+    path: VP8X container, ALPH + VP8 chunks).
+
+    Header byte: 2 reserved bits, pre-processing (2), filtering method
+    (2: none/horizontal/vertical/gradient), compression (2: raw or a
+    headerless VP8L stream with alpha in the green channel). The three
+    unfilter recurrences are the spec's exactly (first row/column fall
+    back per the None/left rules); pre-processing method 1 (level
+    reduction) raises — an honest seam (libwebp only emits it below
+    alpha_quality 100; conformance for the emitted-by-default paths is
+    pinned bit-exact against libwebp in tests)."""
+    if not payload:
+        raise ValueError("empty ALPH chunk")
+    b0 = payload[0]
+    compression = b0 & 3
+    filtering = (b0 >> 2) & 3
+    preprocessing = (b0 >> 4) & 3
+    if preprocessing == 1:
+        raise NotImplementedError(
+            "ALPH pre-processing 1 (level reduction) not implemented"
+        )
+    if compression == 0:
+        if len(payload) < 1 + w * h:
+            raise ValueError("truncated raw ALPH chunk")
+        data = np.frombuffer(payload[1 : 1 + w * h], np.uint8).reshape(h, w)
+    elif compression == 1:
+        br = _BitReader(payload[1:])
+        img = _decode_image_stream(br, w, h)
+        data = ((img >> 8) & 0xFF).astype(np.uint8).reshape(h, w)
+    else:
+        raise ValueError(f"bad ALPH compression method {compression}")
+    if filtering == 0:
+        return data.copy()
+    out = np.zeros((h, w), np.uint8)
+    d = data.astype(np.int32)
+    if filtering == 1:  # horizontal
+        for y in range(h):
+            pred = int(out[y - 1, 0]) if y > 0 else 0
+            for x in range(w):
+                pred = (pred + d[y, x]) & 0xFF
+                out[y, x] = pred
+    elif filtering == 2:  # vertical
+        # first row unfilters horizontally from 0
+        pred = 0
+        for x in range(w):
+            pred = (pred + d[0, x]) & 0xFF
+            out[0, x] = pred
+        # each row depends on the previous OUTPUT row → sequential rows,
+        # vectorized within a row
+        for y in range(1, h):
+            out[y] = ((d[y] + out[y - 1].astype(np.int32)) & 0xFF).astype(np.uint8)
+    else:  # gradient
+        pred = 0
+        for x in range(w):
+            pred = (pred + d[0, x]) & 0xFF
+            out[0, x] = pred
+        for y in range(1, h):
+            top_left = int(out[y - 1, 0])
+            left = int(out[y - 1, 0])
+            for x in range(w):
+                top = int(out[y - 1, x])
+                g = left + top - top_left
+                g = 0 if g < 0 else (255 if g > 255 else g)
+                left = (d[y, x] + g) & 0xFF
+                out[y, x] = left
+                top_left = top
+    return out
 
 
 def decode_webp(data: bytes) -> np.ndarray:
@@ -674,19 +753,29 @@ def decode_webp(data: bytes) -> np.ndarray:
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF) file")
     pos = 12
+    alpha_payload = None
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         size = struct.unpack_from("<I", data, pos + 4)[0]
         payload = data[pos + 8 : pos + 8 + size]
         if len(payload) < size:
             raise ValueError("truncated WebP chunk")
+        if tag == b"ALPH":
+            # lossy-with-alpha (VP8X layout): alpha plane rides its own
+            # chunk ahead of the VP8 image chunk
+            alpha_payload = payload
         if tag == b"VP8L":
             return decode_vp8l(payload)
         if tag == b"VP8 ":
             # lossy WebP: VP8 key-frame codec (r5; closes the r4 seam)
             from . import vp8codec
 
-            return vp8codec.decode_vp8_rgba(payload)
+            px = vp8codec.decode_vp8_rgba(payload)
+            if alpha_payload is not None:
+                h, w = px.shape[:2]
+                px = px.copy()
+                px[:, :, 3] = decode_alpha(alpha_payload, w, h)
+            return px
         # VP8X and metadata chunks: keep scanning for the image chunk
         pos += 8 + size + (size & 1)
     raise ValueError("no image chunk in WebP container")

@@ -342,3 +342,145 @@ def test_vp8l_lossless_codec_matches_libwebp_both_directions():
     lib.WebPFree(out)
     ours = webpcodec.decode_webp(lwdata)
     assert np.array_equal(ours[..., :3], px)
+
+
+# --- lossy WebP with alpha (VP8X + ALPH) --------------------------------------
+
+
+def _alpha_forward_filter(a: np.ndarray, method: int) -> np.ndarray:
+    """Spec forward filter for fabricating ALPH test chunks (the inverse
+    lives in webpcodec.decode_alpha)."""
+    ai = a.astype(np.int32)
+    d = np.zeros_like(a, dtype=np.uint8)
+    if method == 1:
+        for y in range(a.shape[0]):
+            pred0 = int(a[y - 1, 0]) if y > 0 else 0
+            d[y, 0] = (ai[y, 0] - pred0) & 0xFF
+            d[y, 1:] = (ai[y, 1:] - ai[y, :-1]) & 0xFF
+    elif method == 2:
+        d[0, 0] = a[0, 0]
+        d[0, 1:] = (ai[0, 1:] - ai[0, :-1]) & 0xFF
+        d[1:] = (ai[1:] - ai[:-1]) & 0xFF
+    else:
+        d[0, 0] = a[0, 0]
+        d[0, 1:] = (ai[0, 1:] - ai[0, :-1]) & 0xFF
+        for y in range(1, a.shape[0]):
+            left = int(a[y - 1, 0])
+            tl = int(a[y - 1, 0])
+            for x in range(a.shape[1]):
+                top = int(a[y - 1, x])
+                g = min(255, max(0, left + top - tl))
+                d[y, x] = (ai[y, x] - g) & 0xFF
+                left = int(a[y, x])
+                tl = top
+    return d
+
+
+def _alpha_file(rgb: np.ndarray, alph_body: bytes) -> bytes:
+    h, w = rgb.shape[:2]
+    vp8_payload = _vp8_payload(encode_webp_vp8(rgb, qi=4))
+
+    def chunk(tag, body):
+        return tag + len(body).to_bytes(4, "little") + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    vp8x = bytes([0x10, 0, 0, 0]) + (w - 1).to_bytes(3, "little") + (
+        h - 1
+    ).to_bytes(3, "little")
+    body = (
+        b"WEBP" + chunk(b"VP8X", vp8x) + chunk(b"ALPH", alph_body)
+        + chunk(b"VP8 ", vp8_payload)
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_rgba_roundtrip_alpha_lossless_and_opaque_stays_simple():
+    rng = np.random.default_rng(30)
+    px = np.clip(rng.normal(128, 30, (24, 32, 4)), 0, 255).astype(np.uint8)
+    data = encode_webp_vp8(px, qi=4)
+    assert data[12:16] == b"VP8X"  # alpha layout
+    out = webpcodec.decode_webp(data)
+    assert np.array_equal(out[..., 3], px[..., 3])  # alpha carried losslessly
+    opaque = px.copy()
+    opaque[..., 3] = 255
+    data2 = encode_webp_vp8(opaque, qi=4)
+    assert data2[12:16] == b"VP8 "  # no pointless VP8X layout
+
+
+def test_alpha_unfilters_roundtrip_all_methods():
+    """ALPH filters 1/2/3 (horizontal/vertical/gradient): a plane filtered
+    with the spec's forward recurrences must unfilter back exactly (the
+    same chunks were verified bit-exact against libwebp's decoder)."""
+    rng = np.random.default_rng(31)
+    h, w = 24, 32
+    rgb = np.clip(rng.normal(120, 30, (h, w, 3)), 0, 255).astype(np.uint8)
+    alpha = np.clip(
+        np.add.outer(np.linspace(0, 200, h), np.linspace(0, 55, w))
+        + rng.normal(0, 6, (h, w)),
+        0, 255,
+    ).astype(np.uint8)
+    for m in (0, 1, 2, 3):
+        body = bytes([m << 2]) + (
+            _alpha_forward_filter(alpha, m) if m else alpha
+        ).tobytes()
+        out = webpcodec.decode_webp(_alpha_file(rgb, body))
+        assert np.array_equal(out[..., 3], alpha), f"filter {m}"
+
+
+def test_alpha_torn_and_unsupported_contract():
+    rng = np.random.default_rng(32)
+    rgb = np.clip(rng.normal(120, 30, (16, 16, 3)), 0, 255).astype(np.uint8)
+    with pytest.raises(ValueError):
+        webpcodec.decode_webp(_alpha_file(rgb, bytes([0]) + bytes(10)))  # short
+    with pytest.raises(NotImplementedError):
+        webpcodec.decode_webp(
+            _alpha_file(rgb, bytes([0x10]) + bytes(16 * 16))  # preproc 1
+        )
+
+
+@needs_libwebp
+def test_alpha_conformance_both_directions():
+    """Our raw-ALPH files decode with the exact alpha in libwebp; libwebp's
+    own lossy-RGBA encodes (compression-1 ALPH: a headerless VP8L stream +
+    horizontal filtering) decode here with alpha bit-identical to
+    libwebp's output."""
+    lib = _LIB
+    rng = np.random.default_rng(33)
+    h, w = 40, 48
+    px = np.clip(rng.normal(120, 45, (h, w, 4)), 0, 255).astype(np.uint8)
+    px[..., 3] = np.clip(
+        np.linspace(0, 255, w)[None, :] + rng.normal(0, 10, (h, w)), 0, 255
+    ).astype(np.uint8)
+    # ours -> libwebp
+    data = encode_webp_vp8(px, qi=6)
+    W = ctypes.c_int()
+    H = ctypes.c_int()
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_ubyte)
+    p = lib.WebPDecodeRGBA(
+        data, ctypes.c_size_t(len(data)), ctypes.byref(W), ctypes.byref(H)
+    )
+    assert p
+    lw = np.ctypeslib.as_array(p, shape=(H.value, W.value, 4)).copy()
+    lib.WebPFree(p)
+    assert np.array_equal(lw[..., 3], px[..., 3])
+    # libwebp -> ours
+    lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+    lib.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.c_char_p),
+    ]
+    out = ctypes.c_char_p()
+    n = lib.WebPEncodeRGBA(
+        px.tobytes(), w, h, w * 4, ctypes.c_float(80.0), ctypes.byref(out)
+    )
+    assert n
+    data2 = ctypes.string_at(out, n)
+    lib.WebPFree(out)
+    p = lib.WebPDecodeRGBA(
+        data2, ctypes.c_size_t(n), ctypes.byref(W), ctypes.byref(H)
+    )
+    lw2 = np.ctypeslib.as_array(p, shape=(H.value, W.value, 4)).copy()
+    lib.WebPFree(p)
+    mine = webpcodec.decode_webp(data2)
+    assert np.array_equal(mine[..., 3], lw2[..., 3])
