@@ -290,6 +290,22 @@ def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
                                 (iid, idx, imagecodec.encode_png(frame))
                             )
                     continue
+                if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+                    # animated WebP (ANIM/ANMF): frames are deltas over the
+                    # canvas (blend/dispose), composited to standalone PNGs
+                    # exactly like the GIF path; still WebP yields 1 frame
+                    from ..sources import imagecodec, webpcodec
+
+                    for idx, (frame, _dur) in enumerate(
+                        webpcodec.decode_webp_frames(data)
+                    ):
+                        if idx % every == 0:
+                            # composited canvas → standalone RGB PNG (the
+                            # GIF-path convention)
+                            rows.append(
+                                (iid, idx, imagecodec.encode_png(frame[..., :3]))
+                            )
+                    continue
                 if data[:4] != b"FVID":
                     raise NotImplementedError(
                         "unknown video container (not AVI/MJPEG or FVID) — "

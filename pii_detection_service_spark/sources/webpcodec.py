@@ -748,6 +748,141 @@ def decode_alpha(payload: bytes, w: int, h: int) -> np.ndarray:
     return out
 
 
+def _blend_rect(canvas: np.ndarray, frame: np.ndarray, x: int, y: int,
+                blend: bool) -> None:
+    """Composite an RGBA frame onto the canvas at (x, y) — straight-alpha
+    src-over when ``blend`` (the spec's formula, float64 + round), plain
+    overwrite otherwise."""
+    h, w = frame.shape[:2]
+    dst = canvas[y : y + h, x : x + w].astype(np.float64)
+    if not blend:
+        canvas[y : y + h, x : x + w] = frame
+        return
+    src = frame.astype(np.float64)
+    sa = src[..., 3:4] / 255.0
+    da = dst[..., 3:4] / 255.0
+    oa = sa + da * (1.0 - sa)
+    rgb = np.where(
+        oa > 0,
+        (src[..., :3] * sa + dst[..., :3] * da * (1.0 - sa)) / np.maximum(oa, 1e-12),
+        0.0,
+    )
+    out = np.concatenate([rgb, oa * 255.0], axis=-1)
+    canvas[y : y + h, x : x + w] = np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def decode_webp_frames(data: bytes) -> list[tuple[np.ndarray, int]]:
+    """Animated WebP (VP8X + ANIM + ANMF) → [(full-canvas RGBA frame,
+    duration_ms)] with blending and disposal applied — an ANMF frame is a
+    delta over the prior canvas, so sampled frames must be composited to
+    stand alone (the same contract as gifcodec.decode_gif_frames). Still
+    images return one frame with duration 0.
+
+    Verification note: no demux/animation API exists in the system
+    libwebp.so, so (unlike the single-image paths, which are pinned
+    bit-exact against it) the animation CONTAINER layer is pinned the
+    VP8L way — an encoder fabricates ANMF layouts (lossless frame
+    payloads → exact pixels by construction) and tests assert the spec's
+    blend/disposal semantics on planted frame stacks."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF) file")
+    pos = 12
+    canvas_w = canvas_h = None
+    bg = np.zeros(4, np.uint8)
+    frames: list[tuple[np.ndarray, int]] = []
+    canvas = None
+    saw_anim = False
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        payload = data[pos + 8 : pos + 8 + size]
+        if len(payload) < size:
+            raise ValueError("truncated WebP chunk")
+        if tag == b"VP8X":
+            canvas_w = int.from_bytes(payload[4:7], "little") + 1
+            canvas_h = int.from_bytes(payload[7:10], "little") + 1
+        elif tag == b"ANIM":
+            if len(payload) < 6:
+                raise ValueError("truncated ANIM chunk")
+            b_, g_, r_, a_ = payload[0], payload[1], payload[2], payload[3]
+            bg = np.array([r_, g_, b_, a_], np.uint8)  # stored BGRA
+            saw_anim = True
+            canvas = np.zeros((canvas_h, canvas_w, 4), np.uint8)
+            canvas[:, :] = bg
+        elif tag == b"ANMF":
+            if canvas is None:
+                raise ValueError("ANMF before ANIM/VP8X")
+            if len(payload) < 16:
+                raise ValueError("truncated ANMF header")
+            fx = int.from_bytes(payload[0:3], "little") * 2
+            fy = int.from_bytes(payload[3:6], "little") * 2
+            fw = int.from_bytes(payload[6:9], "little") + 1
+            fh = int.from_bytes(payload[9:12], "little") + 1
+            dur = int.from_bytes(payload[12:15], "little")
+            flags = payload[15]
+            dispose_bg = bool(flags & 1)
+            no_blend = bool(flags & 2)
+            if fx + fw > canvas_w or fy + fh > canvas_h:
+                raise ValueError("ANMF frame exceeds canvas")
+            px = decode_webp(b"RIFF" + (4 + len(payload[16:])).to_bytes(4, "little")
+                             + b"WEBP" + payload[16:])
+            if px.shape[:2] != (fh, fw):
+                raise ValueError("ANMF frame dims disagree with its payload")
+            _blend_rect(canvas, px, fx, fy, blend=not no_blend)
+            frames.append((canvas.copy(), dur))
+            if dispose_bg:
+                canvas[fy : fy + fh, fx : fx + fw] = bg
+        pos += 8 + size + (size & 1)
+    if saw_anim:
+        if not frames:
+            raise ValueError("animated WebP with no ANMF frames")
+        return frames
+    return [(decode_webp(data), 0)]
+
+
+def encode_webp_anim(
+    frames: list[tuple[np.ndarray, int, int, int, bool, bool]],
+    canvas_w: int,
+    canvas_h: int,
+    bg_rgba: tuple[int, int, int, int] = (0, 0, 0, 0),
+    loop_count: int = 0,
+) -> bytes:
+    """Fabricate an animated WebP. ``frames`` entries are (rgba, x, y,
+    duration_ms, blend, dispose_bg); frame payloads use the LOSSLESS
+    encoder so composited pixels are exact by construction."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + len(body).to_bytes(4, "little") + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    vp8x = (
+        bytes([0x12, 0, 0, 0])  # flags: animation + alpha
+        + (canvas_w - 1).to_bytes(3, "little")
+        + (canvas_h - 1).to_bytes(3, "little")
+    )
+    r, g, b, a = bg_rgba
+    anim = bytes([b, g, r, a]) + loop_count.to_bytes(2, "little")
+    out = chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim)
+    for rgba, x, y, dur, blend, dispose_bg in frames:
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets are stored halved: use even x/y")
+        fh, fw = rgba.shape[:2]
+        sub = encode_webp_lossless(rgba)
+        payload = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + dur.to_bytes(3, "little")
+            + bytes([(0 if blend else 2) | (1 if dispose_bg else 0)])
+            + sub[12:]  # the image chunks, container header stripped
+        )
+        out += chunk(b"ANMF", payload)
+    body = b"WEBP" + out
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def decode_webp(data: bytes) -> np.ndarray:
     """WebP container → uint8 (h, w, 4) RGBA (lossless files only)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":

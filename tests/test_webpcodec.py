@@ -162,14 +162,16 @@ def test_hand_serialized_two_pixel_normal_code():
     put(0, 1)  # no transforms
     put(0, 1)  # no cache
     put(0, 1)  # no meta
-    # green tree, normal code. kCodeLengthCodeOrder starts [17, 18, 0, 1,…];
-    # we need CL symbols {0: len? , 1: len?, 17: …}. Use CL lengths:
-    # symbol 1 → 1 bit (emits code-length 1), symbol 17 → 2 bits (zero
-    # runs), symbol 18 → 2 bits (long zero runs).
+    # green tree, normal code. CL lengths: symbol 1 → 1 bit (emits
+    # code-length 1), symbol 17 → 2 bits (zero runs), symbol 18 → 2 bits
+    # (long zero runs). The order list is the r5-corrected spec
+    # kCodeLengthCodeOrder (16 between 5 and 6); symbols 1/17/18 occupy
+    # the same slots in the r4 order, which is why this vector never
+    # caught the r4 bug.
     put(0, 1)       # not simple
     put(19 - 4, 4)  # read all 19 code-length slots
     cl = {17: 2, 18: 2, 1: 1}
-    order = [17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+    order = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
     for s in order:
         put(cl.get(s, 0), 3)
     # canonical CL codes: symbol 1 → 0 (1 bit); 17 → 10 (2 bits); 18 → 11
@@ -346,3 +348,127 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+# --- animated WebP (VP8X + ANIM + ANMF) --------------------------------------
+
+
+def _anim_frames():
+    rng = np.random.default_rng(70)
+    cw, ch = 20, 16
+    f1 = rng.integers(0, 256, (ch, cw, 4), dtype=np.uint8)
+    f1[..., 3] = 255
+    f2 = rng.integers(0, 256, (8, 10, 4), dtype=np.uint8)
+    f2[..., 3] = 255
+    f3 = np.zeros((6, 8, 4), np.uint8)
+    f3[..., 0] = 200
+    f3[..., 3] = 128
+    return cw, ch, f1, f2, f3
+
+
+def test_animated_webp_compositing_semantics():
+    """Planted 3-frame stack: full-canvas overwrite, sub-rect overwrite
+    with dispose-to-background, then an alpha-BLENDED frame — each
+    composited canvas must reflect the spec's blend/dispose rules (frame
+    payloads are lossless, so non-blended pixels are exact)."""
+    cw, ch, f1, f2, f3 = _anim_frames()
+    bg = (10, 20, 30, 255)
+    data = wc.encode_webp_anim(
+        [(f1, 0, 0, 40, False, False),
+         (f2, 4, 2, 50, False, True),
+         (f3, 2, 4, 60, True, False)],
+        cw, ch, bg_rgba=bg,
+    )
+    frames = wc.decode_webp_frames(data)
+    assert [d for _, d in frames] == [40, 50, 60]
+    c1, c2, c3 = (f for f, _ in frames)
+    assert np.array_equal(c1, f1)
+    assert np.array_equal(c2[2:10, 4:14], f2)          # sub-rect landed
+    assert np.array_equal(c2[0, :], f1[0, :])          # outside untouched
+    assert tuple(c3[2, 4]) == bg                       # f2 rect disposed to bg
+    # blended pixel: straight-alpha src-over of (200,0,0,128) on f1
+    y, x = 5, 3
+    src = f3[y - 4, x - 2].astype(float)
+    dst = f1[y, x].astype(float)
+    sa, da = src[3] / 255, dst[3] / 255
+    oa = sa + da * (1 - sa)
+    want = np.round(
+        np.append((src[:3] * sa + dst[:3] * da * (1 - sa)) / oa, oa * 255)
+    ).astype(np.uint8)
+    assert np.array_equal(c3[y, x], want)
+
+
+def test_animated_webp_still_image_single_frame():
+    px = _px(h=8, w=9, seed=71)
+    data = wc.encode_webp_lossless(px)
+    frames = wc.decode_webp_frames(data)
+    assert len(frames) == 1 and frames[0][1] == 0
+    assert np.array_equal(frames[0][0][..., :3], px)
+
+
+def test_animated_webp_lossy_frames_roundtrip():
+    """ANMF frames may carry lossy VP8 (+ALPH) payloads too — dims and
+    alpha must survive; pixels within the lossy band."""
+    from pii_detection_service_spark.sources import vp8codec
+
+    rng = np.random.default_rng(72)
+    cw, ch = 32, 16
+    f = np.clip(rng.normal(128, 20, (ch, cw, 4)), 0, 255).astype(np.uint8)
+    sub = vp8codec.encode_webp_vp8(f, qi=4)
+
+    def chunk(tag, body):
+        return tag + len(body).to_bytes(4, "little") + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    vp8x = bytes([0x12, 0, 0, 0]) + (cw - 1).to_bytes(3, "little") + (
+        ch - 1
+    ).to_bytes(3, "little")
+    anim = bytes([0, 0, 0, 0]) + (0).to_bytes(2, "little")
+    anmf = (
+        (0).to_bytes(3, "little") * 2
+        + (cw - 1).to_bytes(3, "little")
+        + (ch - 1).to_bytes(3, "little")
+        + (25).to_bytes(3, "little")
+        + bytes([2])  # no-blend
+        + sub[12:]
+    )
+    body = b"WEBP" + chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim) + chunk(b"ANMF", anmf)
+    data = b"RIFF" + len(body).to_bytes(4, "little") + body
+    frames = wc.decode_webp_frames(data)
+    assert len(frames) == 1
+    out = frames[0][0]
+    assert out.shape == (ch, cw, 4)
+    assert np.array_equal(out[..., 3], f[..., 3])  # raw ALPH exact
+
+
+def test_animated_webp_torn_contracts():
+    cw, ch, f1, _, _ = _anim_frames()
+    data = bytearray(wc.encode_webp_anim([(f1, 0, 0, 10, False, False)], cw, ch))
+    with pytest.raises(ValueError):
+        wc.decode_webp_frames(bytes(data[:40]))  # truncated chunk
+    # frame dims exceeding the canvas must raise, not write out of bounds
+    big = wc.encode_webp_anim([(f1, 0, 0, 10, False, False)], cw, ch)
+    idx = big.index(b"ANMF") + 8 + 6
+    bad = bytearray(big)
+    bad[idx : idx + 3] = (cw + 7).to_bytes(3, "little")  # frame_w - 1 too big
+    with pytest.raises(ValueError):
+        wc.decode_webp_frames(bytes(bad))
+
+
+def test_sample_frames_over_animated_webp(spark):
+    from pii_detection_service_spark.operators import multimodal
+    from pii_detection_service_spark.sources import imagecodec
+
+    cw, ch, f1, f2, _ = _anim_frames()
+    data = wc.encode_webp_anim(
+        [(f1, 0, 0, 10, False, False), (f2, 4, 2, 10, False, False),
+         (f1, 0, 0, 10, False, False)],
+        cw, ch,
+    )
+    df = spark.createDataFrame([("anim_0", bytearray(data))],
+                               "image_id string, bytes binary")
+    got = multimodal.sample_frames(df, every=2).collect()
+    assert [r["frame_idx"] for r in got] == [0, 2]
+    px = imagecodec.decode_png(bytes(got[0]["frame_bytes"]))
+    assert np.array_equal(px[..., :3], f1[..., :3])
