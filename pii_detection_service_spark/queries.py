@@ -130,6 +130,40 @@ def _multimodal_gif_frames(spark, sf_dir):
     return multimodal.sample_frames(gifs, every=2)
 
 
+def _multimodal_webp_frames(spark, sf_dir):
+    """Frame-sample every 2nd frame from animated WebP (VP8X+ANIM+ANMF)
+    containers — blend/dispose compositing to standalone PNGs, the
+    row-EXPANDING shape of the GIF twin; rows-only (binary frames)."""
+    import numpy as np
+    import pandas as pd
+
+    from .sources import webpcodec
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng(2000 + i)
+                cw, ch = 16, 16
+                base = rng.integers(0, 256, (ch, cw, 4), dtype=np.uint8)
+                base[..., 3] = 255
+                frames = [(base, 0, 0, 30, False, False)]
+                for f in range(1, 4):
+                    patch = np.zeros((4, 6, 4), np.uint8)
+                    patch[..., f % 3] = 220
+                    patch[..., 3] = 255
+                    frames.append((patch, (2 * f) % 10, 4, 30, False, f == 2))
+                rows.append((
+                    f"awebp_{i:06d}",
+                    webpcodec.encode_webp_anim(frames, cw, ch),
+                ))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    anims = spark.range(60).mapInPandas(gen, "image_id string, bytes binary")
+    return multimodal.sample_frames(anims, every=2)
+
+
 def _multimodal_audio_stats(spark, sf_dir):
     """Real-WAV decode + quality stats over a deterministic synthetic
     audio table (binary column; rows-only check — DuckDB cannot decode
@@ -1363,6 +1397,7 @@ ORACLES: dict[str, str | None] = {
     "multimodal_resize": None,
     "multimodal_video_frames": None,
     "multimodal_gif_frames": None,
+    "multimodal_webp_frames": None,
 }
 
 SPARK_BUILDERS = {
@@ -1472,6 +1507,7 @@ SPARK_BUILDERS = {
     "multimodal_resize": _multimodal_resize,
     "multimodal_video_frames": _multimodal_video_frames,
     "multimodal_gif_frames": _multimodal_gif_frames,
+    "multimodal_webp_frames": _multimodal_webp_frames,
 }
 
 assert set(ORACLES) == set(SPARK_BUILDERS)

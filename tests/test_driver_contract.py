@@ -28,6 +28,7 @@ def test_queries_and_oracles_consistent():
         "multimodal_resize",
         "multimodal_video_frames",
         "multimodal_gif_frames",
+        "multimodal_webp_frames",
         "sim_topk_cosine_fast",
     }
 
