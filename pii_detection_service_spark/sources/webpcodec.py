@@ -22,8 +22,12 @@ the complete VP8L feature set a lossless crawl file can use:
 
 Lossy WebP (``VP8 `` chunks) dispatches to vp8codec.py (r5): a full
 intra-only VP8 key-frame decoder verified bit-exact against the system
-libwebp in both directions. Inter frames (which a still-image WebP never
-leads with) raise NotImplementedError there — the honest-seam convention,
+libwebp in both directions. The VP8X layouts are covered too (r5): ALPH
+alpha chunks (raw and compressed, all three unfilter recurrences —
+decode_alpha) and ANIM/ANMF animations (decode_webp_frames: blend +
+dispose compositing to standalone canvas frames, with a fabricating
+encoder for exact planted tests). Inter frames (which a still-image WebP
+never leads with) raise NotImplementedError — the honest-seam convention,
 never silently-wrong pixels.
 
 Verification note: originally built from the public spec (RFC 9649)
