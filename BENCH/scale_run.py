@@ -340,7 +340,23 @@ def main():
     }
     print(json.dumps(result))
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, f"scale{n // 1_000_000}m.json"), "w") as f:
+    path = os.path.join(here, f"scale{n // 1_000_000}m.json")
+    if only_set is not None and os.path.exists(path):
+        # subset run: MERGE the new legs into the existing notch file so a
+        # partial re-run never clobbers previously measured legs; per-leg
+        # provenance is the git history of this file
+        with open(path) as f:
+            prev = json.load(f)
+        prev["queries_sec"].update(result["queries_sec"])
+        prev["rows"].update(result["rows"])
+        if result["images_per_sec_score"] is not None:
+            prev["images_per_sec_score"] = result["images_per_sec_score"]
+            prev["image_stage_skipped_for_disk"] = result[
+                "image_stage_skipped_for_disk"
+            ]
+        prev["total_sec"] = round(sum(prev["queries_sec"].values()), 2)
+        result = prev
+    with open(path, "w") as f:
         json.dump(result, f, indent=1)
     spark.stop()
 

@@ -79,6 +79,10 @@ def main():
         "lm_train_bigram_counts",
         # deterministic language-balanced downsampling (mixture shaping)
         "sample_lang_balanced",
+        # round-5 additions: the full Gopher rule set (map-only scan) and
+        # the trained-langid counts (vocabulary-bounded aggregation)
+        "quality_gopher_full",
+        "langid_train_bigram_counts",
     ]
 
     # Warm the Python worker pool (each worker cold-imports pandas/numpy
