@@ -126,6 +126,34 @@ def scores_oracle_arpa(spark, sf_dir) -> DataFrame:
     )
 
 
+def scores_oracle_trained_langid(spark, sf_dir) -> DataFrame:
+    """The quantized-score projection with the LANGID model flowing through
+    the full trained seam: per-language bigram tables estimated from the
+    corpus's labeled slice (lmtrain.train_langid_tables), quantized to 6
+    decimals (so the DuckDB twin — which re-trains the same tables IN SQL —
+    sums identical IEEE doubles), broadcast via langid_bc, and scored
+    through the production Arrow kernel. Beyond langid_train_bigram_counts
+    (which pins the trained TABLE), this pins the argmax/`und`-rule/keep-
+    chain behavior of the trained model end to end under the driver's hash
+    compare; the perplexity side stays the builtin (already exact-oracled),
+    so a mismatch isolates to the langid swap."""
+    import numpy as np
+
+    from . import lmtrain
+    from .relational import table
+
+    d = table(spark, sf_dir, "documents")
+    langs, tbl = lmtrain.train_langid_tables(d)
+    bc = spark.sparkContext.broadcast((langs, np.round(tbl, 6)))
+    return score_documents(spark, sf_dir, langid_bc=bc).select(
+        "doc_id",
+        "lang",
+        F.col("ppl").alias("ppl_q"),
+        "keep",
+        "drop_reason",
+    )
+
+
 def predict_documents(spark, sf_dir) -> DataFrame:
     """The reference's /save-essay predict path (SURVEY §3.1), batched:
     decode → tokenize/tag → scrub, over documents.text."""

@@ -582,29 +582,69 @@ _SIMHASH_CAND_SQL = (
     "WHERE hamming <= 3 ORDER BY hamming, doc_a, doc_b"
 )
 
-def _kernel_scores_sql() -> str:
+def _kernel_scores_sql(trained_langid: bool = False) -> str:
     """Exact DuckDB twin of the langid/perplexity UDF kernels plus the full
     keep/drop rule chain (quality.lang_and_ppl + quality.keep_decision).
     The char-bigram models are module constants, so they are inlined as
     VALUES with repr() floats (shortest round-trip → the same IEEE doubles
     in both engines); missing bigrams score the inlined floor literal.
     Testdata text is pure ASCII (checked), so lower()/\\w/[a-z] agree with
-    Python's str.lower()/isalpha()."""
+    Python's str.lower()/isalpha().
+
+    ``trained_langid`` swaps the builtin langid VALUES for profiles TRAINED
+    IN SQL from the corpus's labeled slice (the langid_train_bigram_counts
+    recipe: sentinel-wrapped bigram counts per language, add-one smoothing,
+    logprobs quantized to 6 decimals) — the twin of
+    pipeline.scores_oracle_trained_langid, whose Spark side scores with the
+    same 6-decimal-quantized trained table through the production Arrow
+    kernel. Quantizing the TABLE entries (not the per-document sums) makes
+    both engines sum identical IEEE doubles; the argmax margin between
+    languages is many nats over 100+ chars, far above summation-order ulp
+    noise (re-checked empirically at both SFs)."""
     import math
 
     from .functions import quality as _q
+    from .operators import lmtrain as _lt
 
     floor = repr(math.log(1e-4))
+    lm = ", ".join(
+        f"({ord(bg[0])}, {ord(bg[1])}, {lp!r})" for bg, lp in sorted(_q._LM.items())
+    )
+    if trained_langid:
+        qfloor = repr(round(math.log(1e-4), 6))
+        langs_in = ", ".join(f"'{l}'" for l in _lt.LANGID_TRAIN_LANGS)
+        prof_cte = f"""
+tsrc AS (SELECT lang, '^' || lower(text) || '$' AS t FROM documents
+         WHERE lang IN ({langs_in})),
+tids AS (SELECT lang, unnest(list_transform(range(1, length(t)),
+               i -> (least(ascii(t[i::INTEGER]), 256) * 257
+                   + least(ascii(t[(i + 1)::INTEGER]), 256))::BIGINT))
+               AS bid
+         FROM tsrc),
+tc AS (SELECT lang, bid, count(*)::BIGINT AS cnt FROM tids GROUP BY lang, bid),
+ttot AS (SELECT lang, sum(cnt) AS total, count(*) AS v FROM tc GROUP BY lang),
+prof AS (SELECT (bid // 257)::INTEGER AS a, (bid % 257)::INTEGER AS b,
+                tc.lang, round(ln((cnt + 1) / (total + v + 1.0)), 6) AS lp
+         FROM tc JOIN ttot USING (lang)),
+cand(lang) AS (SELECT DISTINCT lang FROM tc)"""
+        return _KERNEL_SCORES_BODY.format(
+            prof_cte=prof_cte, lm=lm, floor=floor, lfloor=qfloor,
+            langs="SELECT lang FROM cand",
+        )
     prof = ", ".join(
         f"({ord(bg[0])}, {ord(bg[1])}, '{lang}', {lp!r})"
         for lang in sorted(_q._PROFILES)
         for bg, lp in sorted(_q._PROFILES[lang].items())
     )
-    lm = ", ".join(
-        f"({ord(bg[0])}, {ord(bg[1])}, {lp!r})" for bg, lp in sorted(_q._LM.items())
+    return _KERNEL_SCORES_BODY.format(
+        prof_cte=f"prof(a, b, lang, lp) AS (VALUES {prof})",
+        lm=lm, floor=floor, lfloor=floor,
+        langs="VALUES ('de'),('en'),('es'),('fr')",
     )
-    return f"""
-WITH prof(a, b, lang, lp) AS (VALUES {prof}),
+
+
+_KERNEL_SCORES_BODY = """
+WITH {prof_cte},
 lm(a, b, lp) AS (VALUES {lm}),
 base AS (SELECT doc_id, text, lower(text) AS t FROM documents),
 cps AS (SELECT doc_id, t,
@@ -619,8 +659,8 @@ lmscore AS (SELECT doc_id, any_value(nbg) AS nbg,
             sum(coalesce(lm.lp, {floor})) AS s
             FROM bg LEFT JOIN lm ON lm.a = p[1] AND lm.b = p[2]
             GROUP BY doc_id),
-langscore AS (SELECT doc_id, l.lang, sum(coalesce(prof.lp, {floor})) AS s
-              FROM bg CROSS JOIN (VALUES ('de'),('en'),('es'),('fr')) l(lang)
+langscore AS (SELECT doc_id, l.lang, sum(coalesce(prof.lp, {lfloor})) AS s
+              FROM bg CROSS JOIN ({langs}) l(lang)
               LEFT JOIN prof ON prof.a = p[1] AND prof.b = p[2]
                             AND prof.lang = l.lang
               WHERE bg.i > 1 AND bg.i < bg.nbg
@@ -1388,6 +1428,9 @@ ORACLES: dict[str, str | None] = {
     # same exact oracle: the ARPA round-trip is value-preserving under the
     # 4-decimal ppl quantization (see pipeline.scores_oracle_arpa)
     "pipeline_scores_arpa_quantized": _kernel_scores_sql(),
+    # trained-langid scoring: the twin RE-TRAINS the per-language profiles
+    # in SQL from the labeled slice and scores with them
+    "pipeline_scores_trained_langid": _kernel_scores_sql(trained_langid=True),
     "pipeline_predict_documents": None,
     # --- multimodal (binary image columns): no SQL decoder → rows-only ---
     "multimodal_decode_stats": None,
@@ -1414,7 +1457,6 @@ SPARK_BUILDERS = {
     "events_hourly": relational.events_hourly,
     "langid_stopword": textstats.langid_stopword,
     "quality_score": textstats.quality_score,
-    "token_count": textstats.token_count,
     "a2_tokenize": textstats.tokenize_a2,
     "fingerprint": textstats.fingerprint,
     "label_strip": textstats.label_strip,
@@ -1426,6 +1468,7 @@ SPARK_BUILDERS = {
     "lm_train_bigram_counts": lmtrain.lm_train_bigram_counts,
     "langid_train_bigram_counts": lmtrain.langid_train_bigram_counts,
     "quality_gopher_full": textstats.gopher_quality,
+    "pipeline_scores_trained_langid": pipeline.scores_oracle_trained_langid,
     "dedup_clusters": dedup.dedup_clusters,
     "sample_lang_balanced": sampling.sample_lang_balanced,
     "window_topn_per_lang": relational.window_topn_per_group,
@@ -1481,9 +1524,14 @@ SPARK_BUILDERS = {
     # arrays, i.e. the drift query's semantics are a projection of it;
     # a7_clean_tokens rotated out for r5's langid_train_bigram_counts —
     # a6_reconstruct (still in the window) derives the identical _SUBWORDS
-    # array and pins the ▁-strip semantics through full reconstruction ---
+    # array and pins the ▁-strip semantics through full reconstruction;
+    # token_count rotated out for r5's pipeline_scores_trained_langid —
+    # its whitespace count is quality_score's n_words (in the window) and
+    # its BPE-ish regexp_extract_all shape is a2_tokenize's (in the
+    # window) ---
     "g1_fbeta_drift": relational.fbeta_drift,
     "a7_clean_tokens": textstats.clean_tokens,
+    "token_count": textstats.token_count,
     "documents_render": relational.documents_render,
     "dedup_minhash_survivors": dedup.minhash_survivors,
     "dedup_simhash": dedup.simhash,
