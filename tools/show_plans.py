@@ -65,6 +65,10 @@ def main():
         "dedup_crossmodal_clusters",
         "lm_train_bigram_counts",
         "sample_lang_balanced",
+        # round-5 scale-path queries
+        "quality_gopher_full",
+        "langid_train_bigram_counts",
+        "pipeline_scores_trained_langid",
     ]
     out = ["# PLANS — formatted physical plans for load-bearing queries", ""]
     for name in picks:
