@@ -83,6 +83,7 @@ def main():
         # the trained-langid counts (vocabulary-bounded aggregation)
         "quality_gopher_full",
         "langid_train_bigram_counts",
+        "quality_gopher_dup",
     ]
 
     # Warm the Python worker pool (each worker cold-imports pandas/numpy

@@ -439,3 +439,94 @@ def gopher_repetition(spark, sf_dir) -> DataFrame:
         (F.col("top2_frac") <= GOPHER_TOP2_MAX)
         & (F.col("top3_frac") <= GOPHER_TOP3_MAX),
     )
+
+
+# The rest of the published Gopher repetition family (Rae et al. 2021 A1.1,
+# thresholds as in the public RedPajama implementation): top-4-gram char
+# fraction, duplicate 5..10-gram char fractions (characters covered by
+# n-grams occurring more than once: sum over dup grams of count*len(gram)
+# / chars, clipped at 1), and duplicate-line fraction + duplicate-line
+# CHAR fraction over the derived multi-line text. Together with
+# gopher_repetition (top-2/3-gram) this is the complete rule set.
+GOPHER_TOP4_MAX = 0.16
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+GOPHER_DUP_LINE_MAX = 0.30
+GOPHER_DUP_LINE_CHAR_MAX = 0.20
+
+
+def _dup_ngram_frac(col: str) -> "F.Column":
+    """Characters covered by DUPLICATE n-grams: ONE linear run-length pass
+    over the sorted gram array accumulating count*len(gram) for runs of
+    length >= 2 (the same O(n log n)/row machinery as _top_ngram_frac —
+    never a per-distinct-gram refilter), divided by chars, clipped at 1."""
+    expr = f"""
+    case when size({col}) < 1 then cast(0.0 as double) else
+      aggregate(array_sort({col}),
+                named_struct('s', 0L, 'cc', 0, 'cg', ''),
+                (acc, g) -> if(acc.cc > 0 and g = acc.cg,
+                            named_struct(
+                              's', acc.s + if(acc.cc = 1, 2 * length(g), length(g)),
+                              'cc', acc.cc + 1, 'cg', g),
+                            named_struct('s', acc.s, 'cc', 1, 'cg', g)),
+                acc -> least(cast(acc.s as double) / length(text),
+                             cast(1.0 as double)))
+    end
+    """
+    return F.expr(expr)
+
+
+def gopher_duplication(spark, sf_dir) -> DataFrame:
+    """The duplication half of Gopher's repetition rules: top-4-gram char
+    fraction, duplicate-5..10-gram char fractions, and duplicate-line
+    fraction + duplicate-line char fraction over the deterministically
+    derived multi-line text (_GOPHER_TEXT — the corpus is single-line, so
+    the line rules need the same injected variety quality_gopher_full
+    uses). All outputs are rational or clipped rational divisions →
+    unrounded exact parity with the relational DuckDB twin."""
+    d = table(spark, sf_dir, "documents")
+    d = d.withColumn("gs4", F.expr(_gram_expr(4)))
+    for n in GOPHER_DUP_NGRAM_MAX:
+        d = d.withColumn(f"gd{n}", F.expr(_gram_expr(n)))
+    d = d.withColumn("gt_", F.expr(_GOPHER_TEXT))
+    d = d.withColumn("ls_", F.split("gt_", r"\n"))
+    n_lines = F.size("ls_")
+    # duplicate-line fraction: lines occurring >= 2 times, counted per
+    # occurrence; char version weights each duplicate occurrence by its
+    # length over the multi-line text's length
+    dup_line = F.expr(
+        """
+        aggregate(array_sort(ls_), named_struct('c', 0L, 'ch', 0L, 'cc', 0, 'cg', ''),
+          (acc, l) -> if(acc.cc > 0 and l = acc.cg,
+            named_struct('c', acc.c + if(acc.cc = 1, 2L, 1L),
+                         'ch', acc.ch + if(acc.cc = 1, 2 * length(l), length(l)),
+                         'cc', acc.cc + 1, 'cg', l),
+            named_struct('c', acc.c, 'ch', acc.ch, 'cc', 1, 'cg', l)),
+          acc -> named_struct('n', acc.c, 'ch', acc.ch))
+        """
+    )
+    d = d.withColumn("dl_", dup_line)
+    top4 = _top_ngram_frac("gs4")
+    cols = [
+        top4.alias("top4_frac"),
+    ]
+    keep = top4 <= GOPHER_TOP4_MAX
+    for n, thr in GOPHER_DUP_NGRAM_MAX.items():
+        frac = _dup_ngram_frac(f"gd{n}")
+        cols.append(frac.alias(f"dup{n}_frac"))
+        keep = keep & (frac <= thr)
+    dup_line_frac = F.col("dl_.n") / n_lines
+    dup_line_char = F.least(
+        F.col("dl_.ch") / F.length("gt_"), F.lit(1.0)
+    )
+    keep = (
+        keep
+        & (dup_line_frac <= GOPHER_DUP_LINE_MAX)
+        & (dup_line_char <= GOPHER_DUP_LINE_CHAR_MAX)
+    )
+    return d.select(
+        "doc_id",
+        *cols,
+        dup_line_frac.alias("dup_line_frac"),
+        dup_line_char.alias("dup_line_char_frac"),
+        keep.alias("keep_dup"),
+    )

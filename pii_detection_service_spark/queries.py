@@ -862,6 +862,84 @@ FROM r
 """
 
 
+def _gopher_dup_sql() -> str:
+    """DuckDB twin of textstats.gopher_duplication: the same n-gram sets,
+    the same derived multi-line text, RELATIONAL counting (unnest → GROUP
+    BY → HAVING cnt >= 2 → SUM(cnt * len)) instead of the Spark-side
+    run-length fold — independent implementations of identical semantics.
+    All outputs rational/clipped-rational → unrounded parity."""
+    from .operators import textstats as _ts
+
+    def gram_cte(n: int, tag: str) -> str:
+        return f"""
+e{tag} AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, len(string_split(text, ' ')) - {n - 2}),
+           i -> array_to_string(list_slice(string_split(text, ' '),
+                                           i, i + {n - 1}), ' '))) AS gram
+  FROM documents WHERE len(string_split(text, ' ')) >= {n}),
+c{tag} AS (SELECT doc_id, gram, count(*)::BIGINT AS c
+           FROM e{tag} GROUP BY doc_id, gram)"""
+
+    ctes = [gram_cte(4, "4")]
+    dup_selects = []
+    keep_terms = [f"top4_frac <= {_ts.GOPHER_TOP4_MAX!r}"]
+    for n, thr in _ts.GOPHER_DUP_NGRAM_MAX.items():
+        ctes.append(gram_cte(n, str(n)))
+        ctes.append(
+            f"""
+d{n} AS (SELECT doc_id, sum(c * length(gram)) AS s
+         FROM c{n} WHERE c >= 2 GROUP BY doc_id)"""
+        )
+        # NB: DuckDB LEAST ignores NULLs (PostgreSQL semantics), so the
+        # no-duplicates NULL must be coalesced BEFORE the clip, not after
+        dup_selects.append(
+            f"least(coalesce(d{n}.s, 0)::DOUBLE / length(d.text), 1.0)"
+            f" AS dup{n}_frac"
+        )
+        keep_terms.append(f"dup{n}_frac <= {thr!r}")
+    keep_terms.append(f"dup_line_frac <= {_ts.GOPHER_DUP_LINE_MAX!r}")
+    keep_terms.append(f"dup_line_char_frac <= {_ts.GOPHER_DUP_LINE_CHAR_MAX!r}")
+    joins = "\n".join(
+        f"  LEFT JOIN d{n} ON d{n}.doc_id = d.doc_id"
+        for n in _ts.GOPHER_DUP_NGRAM_MAX
+    )
+    return f"""
+WITH {", ".join(ctes)},
+w4 AS (SELECT doc_id, c, gram FROM (
+        SELECT doc_id, c, gram,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, gram) AS rn
+        FROM c4) t WHERE rn = 1),
+g AS (
+  SELECT doc_id,
+         replace(replace(replace(text, ' table ', chr(10) || '- table '),
+                 ' slow ', '...' || chr(10) || 'slow '),
+                 ' hash ', ' # ') AS t
+  FROM documents),
+lines AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS l FROM g),
+lc AS (SELECT doc_id, l, count(*)::BIGINT AS c FROM lines GROUP BY doc_id, l),
+dl AS (SELECT doc_id, sum(c) AS n_dup, sum(c * length(l)) AS ch_dup
+       FROM lc WHERE c >= 2 GROUP BY doc_id),
+nl AS (SELECT doc_id, len(string_split(t, chr(10))) AS n_lines,
+              length(t) AS t_len FROM g),
+f AS (
+  SELECT d.doc_id,
+         least(coalesce(w4.c * length(w4.gram), 0)::DOUBLE / length(d.text),
+               1.0) AS top4_frac,
+         {", ".join(dup_selects)},
+         coalesce(dl.n_dup, 0)::DOUBLE / nl.n_lines AS dup_line_frac,
+         least(coalesce(dl.ch_dup, 0)::DOUBLE / nl.t_len, 1.0)
+             AS dup_line_char_frac
+  FROM documents d
+  LEFT JOIN w4 ON w4.doc_id = d.doc_id
+{joins}
+  LEFT JOIN dl ON dl.doc_id = d.doc_id
+  JOIN nl ON nl.doc_id = d.doc_id)
+SELECT *, {" AND ".join(keep_terms)} AS keep_dup FROM f
+"""
+
+
 _BANDS_UNION = " UNION ALL ".join(
     f"SELECT doc_id, {band} AS band, "
     f"mh{2 * band}::VARCHAR || '_' || mh{2 * band + 1}::VARCHAR AS band_key FROM sig"
@@ -1422,6 +1500,8 @@ ORACLES: dict[str, str | None] = {
     # both engines see byte-identical input); every metric is a rational
     # division → unrounded parity
     "quality_gopher_full": _gopher_full_sql(),
+    # the duplication half of the Gopher repetition family
+    "quality_gopher_dup": _gopher_dup_sql(),
     # --- UDF-backed pipeline queries: rows-only driver check ---
     "pipeline_score_documents": None,
     "pipeline_scores_quantized": _kernel_scores_sql(),
@@ -1448,7 +1528,6 @@ SPARK_BUILDERS = {
     "f2_point_lookup": relational.point_lookup,
     "f3_notnull_topn": relational.notnull_topn,
     "f6_truncate_preview": relational.truncate_preview,
-    "f7_slice_inner": relational.slice_inner,
     "s8_span_export": relational.span_export,
     "g3_group_metrics": relational.group_metrics,
     "validated_coalesce": relational.validated_coalesce,
@@ -1468,6 +1547,7 @@ SPARK_BUILDERS = {
     "lm_train_bigram_counts": lmtrain.lm_train_bigram_counts,
     "langid_train_bigram_counts": lmtrain.langid_train_bigram_counts,
     "quality_gopher_full": textstats.gopher_quality,
+    "quality_gopher_dup": textstats.gopher_duplication,
     "pipeline_scores_trained_langid": pipeline.scores_oracle_trained_langid,
     "dedup_clusters": dedup.dedup_clusters,
     "sample_lang_balanced": sampling.sample_lang_balanced,
@@ -1529,9 +1609,13 @@ SPARK_BUILDERS = {
     # its whitespace count is quality_score's n_words (in the window) and
     # its BPE-ish regexp_extract_all shape is a2_tokenize's (in the
     # window) ---
+    # f7_slice_inner rotated out for r5's quality_gopher_dup — it is a
+    # two-function substring projection whose machinery (split + slice +
+    # concat_ws) is exercised by a6/a8 and whose scan shape f6 pins ---
     "g1_fbeta_drift": relational.fbeta_drift,
     "a7_clean_tokens": textstats.clean_tokens,
     "token_count": textstats.token_count,
+    "f7_slice_inner": relational.slice_inner,
     "documents_render": relational.documents_render,
     "dedup_minhash_survivors": dedup.minhash_survivors,
     "dedup_simhash": dedup.simhash,

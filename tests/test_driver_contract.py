@@ -183,3 +183,78 @@ def test_gopher_full_rules_golden(spark, tmp_path):
         assert got[i]["keep_gopher"] is False, f"doc {i} should drop"
     # note: str.count('...') counts non-overlapping occurrences left-to-
     # right, the same rule as the replace-length trick in both engines
+
+
+def test_gopher_duplication_golden(spark, tmp_path):
+    """Duplication rules on planted docs: a repeated 5-gram trips exactly
+    the dup5..dup8 bands it covers, repeated ' table ' injections create
+    duplicate '- table ...' lines, and every fraction matches an
+    independent pure-Python recompute (count*len over duplicated grams /
+    chars, clipped at 1)."""
+    import collections
+
+    from pii_detection_service_spark.operators import textstats as ts
+
+    rep = "alpha beta gamma delta epsilon"
+    docs = [
+        # clean doc long enough that a once-occurring top 4-gram covers
+        # < 16% of its characters (the rule penalizes short docs by design)
+        (0, " ".join(f"w{i}x{i * 7 % 13}" for i in range(40))),
+        (1, f"{rep} x {rep} y {rep} z"),                 # repeated 5-gram
+        (2, "a table b slow a table b slow a table b slow end"),  # dup lines
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    d.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in ts.gopher_duplication(spark, str(tmp_path)).collect()
+    }
+
+    def grams(ws, n):
+        return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+
+    def ref(text):
+        ws = text.split(" ")
+        out = {}
+        c4 = collections.Counter(grams(ws, 4))
+        if c4:
+            mx = max(c4.values())
+            g = min(k for k, v in c4.items() if v == mx)
+            out["top4_frac"] = min(1.0, mx * len(g) / len(text))
+        else:
+            out["top4_frac"] = 0.0
+        for n in ts.GOPHER_DUP_NGRAM_MAX:
+            c = collections.Counter(grams(ws, n))
+            s = sum(v * len(k) for k, v in c.items() if v >= 2)
+            out[f"dup{n}_frac"] = min(1.0, s / len(text))
+        t = (
+            text.replace(" table ", "\n- table ")
+            .replace(" slow ", "...\nslow ")
+            .replace(" hash ", " # ")
+        )
+        ls = t.split("\n")
+        lc = collections.Counter(ls)
+        out["dup_line_frac"] = sum(v for v in lc.values() if v >= 2) / len(ls)
+        out["dup_line_char_frac"] = min(
+            1.0, sum(v * len(k) for k, v in lc.items() if v >= 2) / len(t)
+        )
+        keep = (
+            out["top4_frac"] <= ts.GOPHER_TOP4_MAX
+            and all(
+                out[f"dup{n}_frac"] <= thr
+                for n, thr in ts.GOPHER_DUP_NGRAM_MAX.items()
+            )
+            and out["dup_line_frac"] <= ts.GOPHER_DUP_LINE_MAX
+            and out["dup_line_char_frac"] <= ts.GOPHER_DUP_LINE_CHAR_MAX
+        )
+        out["keep_dup"] = keep
+        return out
+
+    for doc_id, text in docs:
+        want = ref(text)
+        g = got[doc_id]
+        for k, v in want.items():
+            assert g[k] == v, (doc_id, k, g[k], v)
+    assert got[0]["keep_dup"] is True
+    assert got[1]["keep_dup"] is False and got[1]["dup5_frac"] > 0.15
+    assert got[2]["keep_dup"] is False and got[2]["dup_line_frac"] > 0.3
