@@ -30,6 +30,16 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--salt", type=int, default=8, help="salt factor for skewed buckets")
     p.add_argument("--cores", default=None, help="local[N] cores (omit on a real cluster)")
     p.add_argument("--no-resume", action="store_true", help="ignore existing lineage")
+    p.add_argument("--arpa-lm", help="char-bigram ARPA model file: swap the "
+                   "perplexity model for this production artifact")
+    p.add_argument("--train-lm", action="store_true",
+                   help="self-bootstrap: train the perplexity LM on the "
+                   "source captions before scoring them")
+    p.add_argument("--gazetteer", help="newline-separated given-name file to "
+                   "extend the PII gazetteer")
+    p.add_argument("--langid-train-source",
+                   help="labeled documents parquet (lang, text) to train the "
+                   "langid profiles on (the langid_bc seam)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -55,6 +65,30 @@ def main(argv: list[str] | None = None) -> None:
     else:
         p.error("one of --source / --synthetic is required")
 
+    lm_bc = gaz_bc = langid_bc = None
+    if args.arpa_lm and args.train_lm:
+        p.error("--arpa-lm and --train-lm are mutually exclusive")
+    if args.arpa_lm:
+        from .sources import artifacts
+
+        lm_bc = artifacts.broadcast_arpa_lm(spark, args.arpa_lm)
+    elif args.train_lm:
+        from .operators import lmtrain
+
+        lm_bc = lmtrain.broadcast_trained_lm(spark, src, text_col="caption")
+    if args.gazetteer:
+        from .sources import artifacts
+
+        with open(args.gazetteer, encoding="utf-8") as f:
+            extra = {ln.strip() for ln in f if ln.strip()}
+        gaz_bc = artifacts.broadcast_gazetteer(spark, extra)
+    if args.langid_train_source:
+        from .operators import lmtrain
+
+        langid_bc = lmtrain.broadcast_trained_langid(
+            spark, spark.read.parquet(args.langid_train_source)
+        )
+
     metrics = stage.run_stage(
         spark,
         src,
@@ -62,6 +96,9 @@ def main(argv: list[str] | None = None) -> None:
         n_buckets=args.buckets,
         salt_factor=args.salt,
         resume=not args.no_resume,
+        lm_bc=lm_bc,
+        gaz_bc=gaz_bc,
+        langid_bc=langid_bc,
     )
     print(json.dumps(metrics))
     spark.stop()

@@ -96,8 +96,15 @@ def run_stage(
     n_buckets: int = DEFAULT_BUCKETS,
     salt_factor: int = SALT_FACTOR,
     resume: bool = True,
+    lm_bc=None,
+    gaz_bc=None,
+    langid_bc=None,
 ) -> dict:
-    """Run (or resume) the full stage. Returns run metrics."""
+    """Run (or resume) the full stage. Returns run metrics. The three
+    optional Broadcasts swap the scoring models for production artifacts
+    (ARPA LM / large gazetteer / corpus-trained langid profiles) — the
+    same seams pipeline.score_documents exposes, reachable from the CLI
+    (--arpa-lm / --gazetteer / --train-lm / --langid-train-source)."""
     data_dir = os.path.join(out_dir, "data")
     lineage_dir = os.path.join(out_dir, "lineage")
     metrics_dir = os.path.join(out_dir, "metrics")
@@ -118,7 +125,7 @@ def run_stage(
     if done_ids:
         df = df.where(~F.col("bucket").isin(done_ids))
 
-    scored = score(df)
+    scored = score(df, lm_bc=lm_bc, gaz_bc=gaz_bc, langid_bc=langid_bc)
 
     # THE one shuffle: explicit (bucket, salt) layout. Salt spreads hot
     # buckets (duplicate phash clusters / dominant language) over
