@@ -25,9 +25,17 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# round-final commits (git log: "round 3: ..." / "round 4: ..." snapshots)
+# round-final commits (git log: "round 3: ..." / "round 4: ..." snapshots).
+# Override via SPARK_GRAFT_AB_ARMS="name1=sha1,name2=sha2" and
+# SPARK_GRAFT_AB_QUERIES="q1,q2" to A/B any two trees (e.g. r4 vs r5).
 ARMS = {"r3": "1bdb326", "r4": "29b9b97"}
+if os.environ.get("SPARK_GRAFT_AB_ARMS"):
+    ARMS = dict(
+        kv.split("=", 1) for kv in os.environ["SPARK_GRAFT_AB_ARMS"].split(",")
+    )
 QUERIES = ["dedup_clusters", "ann_search_ivf"]
+if os.environ.get("SPARK_GRAFT_AB_QUERIES"):
+    QUERIES = os.environ["SPARK_GRAFT_AB_QUERIES"].split(",")
 
 # Executed inside each arm's worktree: one fresh JVM per trial, bench.py's
 # session configs, worker pool warmed, each query timed via count().
@@ -105,19 +113,22 @@ def main():
             print(f"trial {t + 1}/{trials} {arm}: "
                   + " ".join(f"{qn}={got[qn]['sec']}s" for qn in QUERIES),
                   flush=True)
+    arm_a, arm_b = list(ARMS)  # first arm = baseline, second = candidate
     summary = {}
     for qn in QUERIES:
-        a = results["r3"][qn]
-        b = results["r4"][qn]
+        a = results[arm_a][qn]
+        b = results[arm_b][qn]
         summary[qn] = {
-            "r3_best": min(a), "r4_best": min(b),
-            "r3_mean": round(sum(a) / len(a), 3),
-            "r4_mean": round(sum(b) / len(b), 3),
-            "r4_over_r3_best": round(min(b) / min(a), 3),
-            "r4_over_r3_mean": round((sum(b) / len(b)) / (sum(a) / len(a)), 3),
+            f"{arm_a}_best": min(a), f"{arm_b}_best": min(b),
+            f"{arm_a}_mean": round(sum(a) / len(a), 3),
+            f"{arm_b}_mean": round(sum(b) / len(b), 3),
+            f"{arm_b}_over_{arm_a}_best": round(min(b) / min(a), 3),
+            f"{arm_b}_over_{arm_a}_mean": round(
+                (sum(b) / len(b)) / (sum(a) / len(a)), 3
+            ),
         }
     out = {
-        "experiment": "alternating-trials r3 vs r4 code, same box/session",
+        "experiment": f"alternating-trials {arm_a} vs {arm_b} code, same box/session",
         "arms": ARMS,
         "trials": trials,
         "sf_dir": sf_dir,
@@ -125,7 +136,9 @@ def main():
         "raw_sec": results,
         "summary": summary,
     }
-    path = os.path.join(REPO, "BENCH", "ab_r3r4.json")
+    path = os.path.join(
+        REPO, "BENCH", f"ab_{'_'.join(ARMS)}.json"
+    )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(summary))
