@@ -484,3 +484,55 @@ def test_alpha_conformance_both_directions():
     lib.WebPFree(p)
     mine = webpcodec.decode_webp(data2)
     assert np.array_equal(mine[..., 3], lw2[..., 3])
+
+
+# --- property tests (Hypothesis) ----------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(1, 254)),
+        min_size=1,
+        max_size=400,
+    )
+)
+def test_bool_coder_roundtrip_property(seq):
+    """Arithmetic coder round-trip: ANY (bit, prob) sequence written by the
+    encoder decodes back identically — including extreme probabilities and
+    long renormalization runs (the carry-propagation and virtual-trailing-
+    zero paths)."""
+    from pii_detection_service_spark.sources.vp8codec import (
+        BoolDecoder,
+        BoolEncoder,
+    )
+
+    e = BoolEncoder()
+    for bit, prob in seq:
+        e.put(bit, prob)
+    data = e.finish()
+    d = BoolDecoder(data, 0, len(data))
+    got = [d.bool(prob) for _, prob in seq]
+    assert got == [bit for bit, _ in seq]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(2, 24),
+    st.integers(2, 24),
+    st.integers(0, 3),
+)
+def test_alpha_filter_unfilter_identity_property(seed, w, h, method):
+    """ALPH forward filter (test helper) → decode_alpha inverse is the
+    identity for every method on arbitrary planes."""
+    rng = np.random.default_rng(seed)
+    alpha = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    body = bytes([method << 2]) + (
+        _alpha_forward_filter(alpha, method) if method else alpha
+    ).tobytes()
+    got = webpcodec.decode_alpha(body, w, h)
+    assert np.array_equal(got, alpha)
